@@ -1,0 +1,435 @@
+"""The 10 cleaning rules (C1-C13 + quality score Q) as native Column builders.
+
+Reference parity: each builder mirrors one function in the reference's
+``dags/utils/cleaning_rules.py`` (cited per-rule below). The reference
+returns ``RuleResult(value, is_valid, note)`` per row (cleaning_rules.py:10-15);
+here each rule returns a :class:`RuleColumns` triple of Spark Columns so a
+whole dataset is cleaned in ONE fused ``select()`` that stays inside
+whole-stage codegen — no Python UDFs anywhere in this module.
+
+Determinism: every rule that compares against "now" (date bounds, future
+timestamps) takes an injectable ``ref_date``/``ref_ts`` so results are
+reproducible and oracle-checkable (reference uses ``datetime.now`` at
+cleaning_rules.py:122,137).
+
+Documented divergences from the reference (each locked by a test):
+- Title-casing uses word-boundary-at-space semantics (``initcap``) rather
+  than Python ``str.title()``'s any-non-letter boundary. Identical on the
+  reference corpus (names contain only letters and spaces after digit
+  removal).
+- Naive timestamps: the reference raises ``TypeError`` comparing a naive
+  parse against an aware "now" (cleaning_rules.py:137), which kills the
+  record via the operator's per-record catch (operators/data_cleaning.py:61-64).
+  We treat naive timestamps as UTC and keep the record — the sane fix the
+  reference survey flags (SURVEY.md §2.2 C6).
+- Two-digit years (``%d-%b-%y``): Python pivots 69-99 to 19xx; Spark's
+  ``yy`` maps 00-99 to 20xx. We post-adjust years ≥ 2069 back 100 years to
+  match Python's pivot exactly.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class RuleColumns(NamedTuple):
+    """Column triple mirroring the reference's RuleResult dataclass."""
+
+    value: Column
+    is_valid: Column
+    note: Column
+
+
+def _s(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("string")
+
+
+# ---------------------------------------------------------------------------
+# C1 — student-ID standardization (cleaning_rules.py:64-73)
+# ---------------------------------------------------------------------------
+
+
+def standardize_student_id(col: Column | str) -> RuleColumns:
+    """``"stu-002" -> "STU002"``; digits zero-padded to >= 3, kept if longer."""
+    raw = _s(col)
+    digits = F.regexp_replace(raw, "[^0-9]", "")
+    padded = F.when(F.length(digits) >= 3, digits).otherwise(F.lpad(digits, 3, "0"))
+    value = F.when(raw.isNotNull() & (digits != ""), F.concat(F.lit("STU"), padded))
+    is_valid = raw.isNotNull() & (digits != "")
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(digits == "", "no-digits")
+        .otherwise("standardized")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C2 — name cleaning (cleaning_rules.py:76-87)
+# ---------------------------------------------------------------------------
+
+
+def clean_name(col: Column | str) -> tuple[RuleColumns, Column, Column]:
+    """Trim, collapse whitespace, delete digits, Title Case; split first/last.
+
+    Order matters (digits removed AFTER collapse, so "john 123 doe"
+    title-cases to "John  Doe" with the double space preserved — exactly
+    the reference behavior). Returns ``(full_name RuleColumns, first, last)``.
+    """
+    raw = _s(col)
+    collapsed = F.regexp_replace(F.trim(raw), "\\s+", " ")
+    name = F.initcap(F.regexp_replace(collapsed, "[0-9]", ""))
+    is_valid = raw.isNotNull() & (name != "")
+    value = F.when(is_valid, name)
+    note = (
+        F.when(raw.isNull(), "missing").when(name == "", "empty").otherwise("standardized")
+    )
+    parts = F.split(name, " ", -1)
+    first = F.when(is_valid, F.element_at(parts, 1))
+    last = F.when(
+        is_valid,
+        F.when(F.size(parts) > 1, F.array_join(F.slice(parts, 2, 2147483647), " ")).otherwise(
+            F.lit("")
+        ),
+    )
+    return RuleColumns(value, is_valid, note), first, last
+
+
+# ---------------------------------------------------------------------------
+# C3 — email validation (cleaning_rules.py:90-97)
+# ---------------------------------------------------------------------------
+
+EMAIL_PATTERN = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
+
+
+def validate_email(col: Column | str) -> RuleColumns:
+    raw = _s(col)
+    email = F.lower(F.trim(raw))
+    ok = email.rlike(EMAIL_PATTERN)
+    value = F.when(raw.isNotNull() & ok, email)
+    is_valid = raw.isNotNull() & ok
+    note = (
+        F.when(raw.isNull(), "missing").when(ok, "valid").otherwise("invalid-format")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C4 — phone standardization (cleaning_rules.py:100-110)
+# ---------------------------------------------------------------------------
+
+
+def standardize_phone(col: Column | str) -> RuleColumns:
+    raw = _s(col)
+    digits = F.regexp_replace(F.trim(raw), "[^0-9]", "")
+    ten = F.length(digits) == 10
+    twelve = (F.length(digits) == 12) & digits.startswith("91")
+    value = (
+        F.when(raw.isNull(), F.lit(None).cast("string"))
+        .when(ten, F.concat(F.lit("+91-"), digits))
+        .when(twelve, F.concat(F.lit("+91-"), F.substring(digits, 3, 10)))
+    )
+    is_valid = raw.isNotNull() & (ten | twelve)
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(ten, "normalized-10")
+        .when(twelve, "normalized-12")
+        .otherwise("invalid-length")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C5 — multi-format date parsing (cleaning_rules.py:18-24,113-127)
+# ---------------------------------------------------------------------------
+
+# Reference format list, in first-match-wins order (cleaning_rules.py:18-24):
+#   %Y-%m-%d, %d/%m/%Y, %d-%m-%Y, %B %d, %Y, %d-%b-%y
+# Spark patterns use single M/d so 1-digit months/days parse like strptime.
+DATE_FORMATS_SPARK = [
+    ("yyyy-M-d", "%Y-%m-%d"),
+    ("d/M/yyyy", "%d/%m/%Y"),
+    ("d-M-yyyy", "%d-%m-%Y"),
+    ("MMMM d, yyyy", "%B %d, %Y"),
+    ("d-MMM-yy", "%d-%b-%y"),
+]
+
+
+def _parse_two_digit_year(trimmed: Column) -> Column:
+    """``d-MMM-yy`` with Python's 69-99 -> 19xx pivot (Spark maps to 20xx)."""
+    parsed = F.to_date(trimmed, "d-MMM-yy")
+    return F.when(F.year(parsed) >= 2069, F.add_months(parsed, -1200)).otherwise(parsed)
+
+
+def parse_date(col: Column | str, ref_date: Column | None = None) -> RuleColumns:
+    """First-match-wins over the 5 reference formats; bounds [1950, today]."""
+    raw = _s(col)
+    trimmed = F.trim(raw)
+    today = ref_date if ref_date is not None else F.current_date()
+    candidates = [
+        F.to_date(trimmed, "yyyy-M-d"),
+        F.to_date(trimmed, "d/M/yyyy"),
+        F.to_date(trimmed, "d-M-yyyy"),
+        F.to_date(trimmed, "MMMM d, yyyy"),
+        _parse_two_digit_year(trimmed),
+    ]
+    parsed = F.coalesce(*candidates)
+    in_bounds = (F.year(parsed) >= 1950) & (parsed <= today)
+    is_valid = raw.isNotNull() & parsed.isNotNull() & in_bounds
+    value = F.when(is_valid, parsed)
+    fmt_note = F.coalesce(
+        *[
+            F.when(cand.isNotNull(), F.lit(py_fmt))
+            for cand, (_, py_fmt) in zip(candidates, DATE_FORMATS_SPARK)
+        ]
+    )
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(parsed.isNull(), "unparsed")
+        .when(F.year(parsed) < 1950, "too-old")
+        .when(parsed > today, "future-date")
+        .otherwise(fmt_note)
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C6 — multi-format datetime parsing (cleaning_rules.py:26-30,130-142)
+# ---------------------------------------------------------------------------
+
+DATETIME_FORMATS_SPARK = [
+    ("yyyy-M-d'T'H:m:s", "%Y-%m-%dT%H:%M:%S"),
+    ("yyyy-M-d H:m:s", "%Y-%m-%d %H:%M:%S"),
+    # %z variants: ISO offset (+05:30 / Z) and RFC-822 offset (+0530)
+    ("yyyy-M-d'T'H:m:sXXX", "%Y-%m-%dT%H:%M:%S%z"),
+    ("yyyy-M-d'T'H:m:sZ", "%Y-%m-%dT%H:%M:%S%z"),
+]
+
+
+def parse_date_time(col: Column | str, ref_ts: Column | None = None) -> RuleColumns:
+    """Naive formats first, then tz-aware; future timestamps rejected.
+
+    Naive parses are interpreted as UTC (session timezone) — the
+    reference instead crashes the record on naive inputs (see module
+    docstring, divergence #2).
+    """
+    raw = _s(col)
+    trimmed = F.trim(raw)
+    now = ref_ts if ref_ts is not None else F.current_timestamp()
+    candidates = [
+        F.to_timestamp(trimmed, fmt) for fmt, _ in DATETIME_FORMATS_SPARK
+    ]
+    parsed = F.coalesce(*candidates)
+    is_valid = raw.isNotNull() & parsed.isNotNull() & (parsed <= now)
+    value = F.when(is_valid, parsed)
+    fmt_note = F.coalesce(
+        *[
+            F.when(cand.isNotNull(), F.lit(py_fmt))
+            for cand, (_, py_fmt) in zip(candidates, DATETIME_FORMATS_SPARK)
+        ]
+    )
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(parsed.isNull(), "unparsed")
+        .when(parsed > now, "future-date")
+        .otherwise(fmt_note)
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C7 — gender standardization (cleaning_rules.py:145-153)
+# ---------------------------------------------------------------------------
+
+
+def standardize_gender(col: Column | str) -> RuleColumns:
+    raw = _s(col)
+    g = F.lower(F.trim(raw))
+    male = g.isin("m", "male")
+    female = g.isin("f", "female")
+    value = (
+        F.when(raw.isNull(), "Other")
+        .when(male, "Male")
+        .when(female, "Female")
+        .otherwise("Other")
+    )
+    is_valid = raw.isNotNull() & (male | female)
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(male | female, "mapped")
+        .otherwise("defaulted")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C8/C9 — city & state normalization (cleaning_rules.py:156-176)
+# city fuzzy-matching itself is a join — see operators/cleaning.py
+# ---------------------------------------------------------------------------
+
+DEFAULT_CITY_MASTER = [
+    "Mumbai",
+    "Bangalore",
+    "Delhi",
+    "Hyderabad",
+    "Chennai",
+    "Pune",
+    "Kolkata",
+    "Ahmedabad",
+    "Jaipur",
+    "Lucknow",
+]
+
+# Hardcoded corrections applied BEFORE master matching (cleaning_rules.py:160)
+CITY_CORRECTIONS = {"Mumabi": "Mumbai", "Banglore": "Bangalore", "Pune": "Pune"}
+
+
+def normalize_city(col: Column | str) -> Column:
+    """Trim/collapse/titlecase + hardcoded corrections (pre-fuzzy step)."""
+    raw = _s(col)
+    city = F.initcap(F.regexp_replace(F.trim(raw), "\\s+", " "))
+    corrected = city
+    for wrong, right in CITY_CORRECTIONS.items():
+        corrected = F.when(corrected == wrong, right).otherwise(corrected)
+    return corrected
+
+
+def clean_state(col: Column | str) -> RuleColumns:
+    raw = _s(col)
+    state = F.initcap(F.regexp_replace(F.trim(raw), "\\s+", " "))
+    value = F.when(raw.isNotNull(), state)
+    is_valid = raw.isNotNull()
+    note = F.when(raw.isNull(), "missing").otherwise("normalized")
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C8a — positional similarity (cleaning_rules.py:234-237) — NOT Levenshtein
+# ---------------------------------------------------------------------------
+
+
+def positional_similarity(a: Column | str, b: Column | str) -> Column:
+    """``sum(a[i]==b[i]) / max(len(a), len(b), 1)`` on lowercased strings.
+
+    Native expression (split-to-chars + zip_with), no UDF; must match the
+    reference's ``_similarity`` exactly — Levenshtein gives different
+    rankings (e.g. "Mumabi"/"Mumbai" scores 4/6 positionally).
+    """
+    ca = F.split(F.lower(_s(a)), "")
+    cb = F.split(F.lower(_s(b)), "")
+    matches = F.size(
+        F.filter(
+            F.zip_with(ca, cb, lambda x, y: x.isNotNull() & x.eqNullSafe(y)),
+            lambda v: v,
+        )
+    )
+    denom = F.greatest(F.length(_s(a)), F.length(_s(b)), F.lit(1))
+    return matches / denom
+
+
+# ---------------------------------------------------------------------------
+# C10 — numeric cleaning (cleaning_rules.py:179-191)
+# ---------------------------------------------------------------------------
+
+
+def clean_numeric(col: Column | str) -> RuleColumns:
+    """Strip currency/grouping chars, abs() negatives (flagged), empty -> 0.0."""
+    raw = _s(col)
+    empty = raw.isNull() | (F.trim(raw) == "")
+    stripped = F.regexp_replace(raw, "[^0-9.\\-]", "")
+    number = stripped.cast("double")  # ANSI off: unparseable -> NULL
+    value = (
+        F.when(empty, F.lit(0.0))
+        .when(number.isNotNull(), F.abs(number))
+        .otherwise(F.lit(None).cast("double"))
+    )
+    is_valid = ~empty & number.isNotNull() & (number >= 0)
+    note = (
+        F.when(empty, "empty")
+        .when(number.isNull(), "not-a-number")
+        .when(number < 0, "abs")
+        .otherwise("normalized")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C11 — score validation (cleaning_rules.py:194-208)
+# ---------------------------------------------------------------------------
+
+
+def validate_score(col: Column | str) -> RuleColumns:
+    """Cast, cap to [0,100] with flag, banker's-round to 2 (Python round())."""
+    raw = _s(col)
+    number = F.trim(raw).cast("double")
+    capped = F.least(F.greatest(number, F.lit(0.0)), F.lit(100.0))
+    value = F.when(number.isNotNull(), F.bround(capped, 2))
+    in_range = (number >= 0) & (number <= 100)
+    is_valid = raw.isNotNull() & number.isNotNull() & in_range
+    note = (
+        F.when(raw.isNull(), "missing")
+        .when(number.isNull(), "invalid")
+        .when(~in_range, "capped")
+        .otherwise("valid")
+    )
+    return RuleColumns(value, is_valid, note)
+
+
+# ---------------------------------------------------------------------------
+# C12 — payment-status normalization (cleaning_rules.py:32-39;
+#       transformations.py:40-42; raw Title-case variant cleaners.py:19-20)
+# ---------------------------------------------------------------------------
+
+PAYMENT_STATUS_MAP = {
+    "paid": "COMPLETED",
+    "pending": "PENDING",
+    "partial": "PARTIAL",
+    "refunded": "REFUNDED",
+    "failed": "FAILED",
+    "": "UNKNOWN",
+}
+
+
+def map_payment_status(col: Column | str) -> Column:
+    """Lower/trim key -> canonical status; unknown key -> UNKNOWN."""
+    raw = _s(col)
+    key = F.lower(F.trim(F.coalesce(raw, F.lit(""))))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in PAYMENT_STATUS_MAP.items() for x in kv]
+    )
+    return F.coalesce(mapping[key], F.lit("UNKNOWN"))
+
+
+def payment_status_raw(col: Column | str) -> Column:
+    """Staging keeps the Title-cased raw value, empty -> "Unknown"
+    (cleaners.py:19-20)."""
+    raw = _s(col)
+    trimmed = F.trim(F.coalesce(raw, F.lit("")))
+    return F.when(trimmed == "", "Unknown").otherwise(F.initcap(trimmed))
+
+
+# ---------------------------------------------------------------------------
+# C13 — program-ID normalization (cleaners.py:47)
+# ---------------------------------------------------------------------------
+
+
+def normalize_program_id(col: Column | str) -> Column:
+    raw = _s(col)
+    upper = F.upper(F.coalesce(raw, F.lit("")))
+    return F.when(upper == "", F.lit(None).cast("string")).otherwise(upper)
+
+
+# ---------------------------------------------------------------------------
+# Q — quality score (cleaning_rules.py:240-242): 100 - 10*invalid, floor 0
+# ---------------------------------------------------------------------------
+
+
+def quality_score(*valid_flags: Column) -> Column:
+    invalid_count = sum(
+        (~F.coalesce(flag, F.lit(False))).cast("int") for flag in valid_flags
+    )
+    return F.greatest(F.lit(0), F.lit(100) - F.lit(10) * invalid_count)
