@@ -1,0 +1,249 @@
+"""Staging-layer cleaning operators: fused selects + dedup + fuzzy city join.
+
+Mirrors the reference's record-composition wrappers
+(``dags/utils/cleaners.py:8-112``) and the cleaning DAG
+(``dags/data_cleaning_pipeline.py``), re-expressed as single fused
+``select()`` statements so Catalyst collapses each dataset's cleaning
+into one codegen'd stage. The only join is the tiny broadcast
+city-master fuzzy match (C8, ``cleaning_rules.py:156-169``).
+
+Scale notes: the fuzzy match joins *distinct dirty city values* (small,
+bounded by vocabulary, not data size) against a <=dozens-row master —
+a broadcast nested-loop on purpose; the per-row path is then a
+broadcast hash join on the normalized city string. Dedup windows
+partition by the natural key, so they shuffle once on the same key the
+downstream MERGE uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import rules
+
+
+def city_master_df(spark: SparkSession, cities: list[str] | None = None) -> DataFrame:
+    """Master city list with match-priority index (first-max-wins tie-break
+    replicates the reference's ``_closest`` scan order, cleaning_rules.py:223-231)."""
+    cities = cities or rules.DEFAULT_CITY_MASTER
+    return spark.createDataFrame(
+        [(c, i) for i, c in enumerate(cities)], "master_city string, master_idx int"
+    )
+
+
+def match_cities(dirty_cities: DataFrame, master: DataFrame) -> DataFrame:
+    """Nearest-neighbor over the city master via positional similarity.
+
+    Input: one column ``city_norm`` (already normalized+corrected, distinct).
+    Output: ``city_norm, city_value, city_valid, city_note``.
+
+    Exact master hit -> matched; else best similarity >= 0.8 -> fuzzy
+    corrected; else keep with invalid flag. crossJoin is intentional:
+    |distinct cities| x |master| is vocabulary-sized, and Spark broadcasts
+    the master side.
+    """
+    sim = rules.positional_similarity(F.col("city_norm"), F.col("master_city"))
+    scored = (
+        dirty_cities.crossJoin(F.broadcast(master))
+        .withColumn("sim", sim)
+        .withColumn("exact", F.col("city_norm") == F.col("master_city"))
+    )
+    w = Window.partitionBy("city_norm").orderBy(
+        F.desc("exact"), F.desc("sim"), F.asc("master_idx")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "city_norm",
+            F.when(F.col("exact") | (F.col("sim") >= 0.8), F.col("master_city"))
+            .otherwise(F.col("city_norm"))
+            .alias("city_value"),
+            (F.col("exact") | (F.col("sim") >= 0.8)).alias("city_valid"),
+            F.when(F.col("exact"), F.lit("matched"))
+            .when(F.col("sim") >= 0.8, F.format_string("fuzzy-%.2f", F.col("sim")))
+            .otherwise(F.lit("unmatched"))
+            .alias("city_note"),
+        )
+    )
+    return best
+
+
+def with_city_cleaned(
+    df: DataFrame, city_col: str, master: DataFrame
+) -> DataFrame:
+    """Attach ``city_value/city_valid/city_note`` for ``city_col`` (C8)."""
+    norm = rules.normalize_city(city_col)
+    with_norm = df.withColumn("city_norm", norm)
+    distinct = with_norm.select("city_norm").where(F.col("city_norm").isNotNull()).distinct()
+    matched = match_cities(distinct, master)
+    joined = with_norm.join(F.broadcast(matched), "city_norm", "left")
+    return (
+        joined.withColumn(
+            "city_valid", F.coalesce(F.col("city_valid"), F.lit(False))
+        )
+        .withColumn(
+            "city_note",
+            F.when(F.col(city_col).isNull(), "missing").otherwise(F.col("city_note")),
+        )
+        .drop("city_norm")
+    )
+
+
+def mark_duplicates(df: DataFrame, key: str) -> DataFrame:
+    """D1 (cleaning_rules.py:211-220 via dags/data_cleaning_pipeline.py:40-48):
+    EVERY copy of a duplicated key is flagged, including the first."""
+    w = Window.partitionBy(key)
+    return df.withColumn("is_duplicate", F.count("*").over(w) > 1)
+
+
+def dedup_last_wins(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """D2 (dags/data_cleaning_pipeline.py:54-60, db.py:49-57): collapse to one
+    row per key, LAST occurrence (by ``order_col``) winning."""
+    w = Window.partitionBy(key).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def clean_students(
+    df: DataFrame,
+    master: DataFrame,
+    ref_date: Column | None = None,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Students raw -> staging.stg_students shape (cleaners.py:8-53).
+
+    Input columns (all strings): student_id full_name email phone dob gender
+    city state enrollment_date program_id fee_paid payment_status.
+    One fused select per the staging DDL (init_schema.sql:109-141), plus the
+    10 per-rule validity flags feeding the quality score.
+    """
+    sid = rules.standardize_student_id("student_id")
+    name, first, last = rules.clean_name("full_name")
+    email = rules.validate_email("email")
+    phone = rules.standardize_phone("phone")
+    dob = rules.parse_date("dob", ref_date=ref_date)
+    gender = rules.standardize_gender("gender")
+    state = rules.clean_state("state")
+    enroll = rules.parse_date("enrollment_date", ref_date=ref_date)
+    fee = rules.clean_numeric("fee_paid")
+
+    with_city = with_city_cleaned(df, "city", master)
+
+    quality = rules.quality_score(
+        sid.is_valid,
+        name.is_valid,
+        email.is_valid,
+        phone.is_valid,
+        dob.is_valid,
+        gender.is_valid,
+        F.col("city_valid"),
+        state.is_valid,
+        enroll.is_valid,
+        fee.is_valid,
+    )
+    notes = F.to_json(
+        F.struct(
+            sid.note.alias("student_id"),
+            name.note.alias("name"),
+            email.note.alias("email"),
+            phone.note.alias("phone"),
+            dob.note.alias("dob"),
+            gender.note.alias("gender"),
+            F.col("city_note").alias("city"),
+            state.note.alias("state"),
+            enroll.note.alias("enrollment_date"),
+            fee.note.alias("fee_paid"),
+        )
+    )
+    cleaned = with_city.select(
+        sid.value.alias("student_id"),
+        first.alias("first_name"),
+        last.alias("last_name"),
+        name.value.alias("full_name"),
+        email.value.alias("email"),
+        phone.value.alias("phone"),
+        dob.value.alias("dob"),
+        gender.value.alias("gender"),
+        F.col("city_value").alias("city"),
+        state.value.alias("state"),
+        enroll.value.alias("enrollment_date"),
+        rules.normalize_program_id("program_id").alias("program_id"),
+        fee.value.cast("decimal(15,2)").alias("fee_paid"),
+        rules.payment_status_raw("payment_status").alias("payment_status"),
+        email.is_valid.alias("is_email_valid"),
+        phone.is_valid.alias("is_phone_valid"),
+        dob.is_valid.alias("is_date_valid"),
+        quality.alias("quality_score"),
+        notes.alias("cleaning_notes"),
+        F.lit(batch_id).cast("string").alias("batch_id"),
+    )
+    return mark_duplicates(cleaned, "student_id")
+
+
+def clean_progress(
+    df: DataFrame,
+    ref_ts: Column | None = None,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Progress raw -> staging.stg_progress shape (cleaners.py:56-89).
+
+    Flags: student, score, completion, duration, timestamp (5 -> quality)."""
+    sid = rules.standardize_student_id("student_id")
+    score = rules.validate_score("score")
+    completion = rules.validate_score("completion_percentage")
+    duration = rules.clean_numeric("duration_seconds")
+    ts = rules.parse_date_time("event_timestamp", ref_ts=ref_ts)
+    quality = rules.quality_score(
+        sid.is_valid, score.is_valid, completion.is_valid, duration.is_valid, ts.is_valid
+    )
+    cleaned = df.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        sid.value.alias("student_id"),
+        F.col("course_id").cast("string").alias("course_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        ts.value.alias("event_timestamp"),
+        duration.value.cast("int").alias("duration_seconds"),
+        score.value.cast("decimal(5,2)").alias("score"),
+        F.col("module_id").cast("string").alias("module_id"),
+        completion.value.cast("decimal(5,2)").alias("completion_percentage"),
+        sid.is_valid.alias("is_student_valid"),
+        ts.is_valid.alias("is_timestamp_valid"),
+        score.is_valid.alias("is_score_valid"),
+        quality.alias("quality_score"),
+        F.lit(batch_id).cast("string").alias("batch_id"),
+    )
+    return mark_duplicates(cleaned, "event_id")
+
+
+def clean_tickets(
+    df: DataFrame,
+    ref_date: Column | None = None,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Tickets raw -> staging.stg_tickets shape (cleaners.py:92-112).
+
+    Flags: student, created, resolved (3 -> quality; an open ticket with an
+    empty resolved_date scores 90 — reference behavior)."""
+    sid = rules.standardize_student_id("student_id")
+    created = rules.parse_date("created_date", ref_date=ref_date)
+    resolved = rules.parse_date("resolved_date", ref_date=ref_date)
+    quality = rules.quality_score(sid.is_valid, created.is_valid, resolved.is_valid)
+    return df.select(
+        F.col("ticket_id").cast("string").alias("ticket_id"),
+        sid.value.alias("student_id"),
+        F.col("subject").cast("string").alias("subject"),
+        F.col("description").cast("string").alias("description"),
+        F.col("priority").cast("string").alias("priority"),
+        F.col("status").cast("string").alias("status"),
+        F.col("category").cast("string").alias("category"),
+        created.value.alias("created_date"),
+        resolved.value.alias("resolved_date"),
+        sid.is_valid.alias("is_student_valid"),
+        quality.alias("quality_score"),
+        F.lit(batch_id).cast("string").alias("batch_id"),
+    )

@@ -1,0 +1,218 @@
+"""Warehouse layer: date dimension, surrogate keys, dims/facts, merge-upsert.
+
+Mirrors the reference's star schema (init_db/init_schema.sql:236-437) and
+the transformation DAG (dags/data_transformation_pipeline.py), Spark-first:
+
+- dim_date is generated with ``sequence()`` + ``explode`` using the SQL
+  seed's semantics (init_schema.sql:598-613) — Postgres ``EXTRACT(DOW)``
+  numbering (0=Sunday), ISO week, weekend = DOW in (0,6). The reference's
+  Python path (db.py:79-92) disagrees on numbering; the SQL-seeded table is
+  what actually populates the warehouse, so it is canonical (SURVEY §2.7).
+- Surrogate keys: the reference uses Postgres SERIAL. At 100 TB a global
+  ``row_number()`` is a single-partition bottleneck, so the default SK is
+  ``xxhash64(natural key)`` (deterministic, shuffle-free, join-colocatable);
+  ``dense=True`` gives contiguous SKs for small-dim parity tests.
+- Upserts: the reference's ``INSERT .. ON CONFLICT DO UPDATE``
+  (db.py:45-65) becomes a key-based merge: in-batch last-write-wins dedup,
+  then target-minus-updates anti-join + union. With Delta available this
+  would be ``MERGE INTO``; the parquet fallback is semantically identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_key
+
+
+def build_dim_date(
+    spark: SparkSession, start: str = "2020-01-01", end: str = "2026-12-31"
+) -> DataFrame:
+    """Generate the date dimension (init_schema.sql:598-613; 2557 rows default)."""
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"), F.lit(end).cast("date"), F.expr("interval 1 day")
+            )
+        ).alias("full_date")
+    )
+    dow = F.dayofweek("full_date") - 1  # Postgres DOW: 0=Sunday..6
+    return days.select(
+        date_key("full_date").alias("date_key"),
+        F.col("full_date"),
+        dow.alias("day_of_week"),
+        F.date_format("full_date", "EEEE").alias("day_name"),
+        F.dayofmonth("full_date").alias("day_of_month"),
+        F.weekofyear("full_date").alias("week_of_year"),
+        F.month("full_date").alias("month_number"),
+        F.date_format("full_date", "MMMM").alias("month_name"),
+        F.quarter("full_date").alias("quarter"),
+        F.year("full_date").alias("year"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
+
+
+def with_surrogate_key(
+    df: DataFrame, natural_key: str, sk_name: str, dense: bool = False
+) -> DataFrame:
+    """Assign a surrogate key for ``natural_key``.
+
+    Default: ``xxhash64`` of the natural key — deterministic and fully
+    parallel (the scale path). ``dense=True``: ``row_number()`` ordered by
+    the natural key — contiguous like SERIAL, but serializes one window
+    (fine for dimension tables, wrong for facts).
+    """
+    if dense:
+        w = Window.orderBy(natural_key)
+        return df.withColumn(sk_name, F.row_number().over(w).cast("long"))
+    return df.withColumn(sk_name, F.xxhash64(F.col(natural_key)))
+
+
+def sk_lookup(dim: DataFrame, natural_key: str, sk_name: str) -> DataFrame:
+    """J1/J2 (dags/data_transformation_pipeline.py:132-139): broadcastable
+    ``{natural_key -> sk}`` mapping."""
+    return dim.select(natural_key, sk_name)
+
+
+def attach_sk(
+    fact: DataFrame, dim: DataFrame, natural_key: str, sk_name: str
+) -> DataFrame:
+    """Left broadcast join replicating the reference's dict ``.get()``
+    (miss -> NULL sk)."""
+    return fact.join(
+        F.broadcast(sk_lookup(dim, natural_key, sk_name)), natural_key, "left"
+    )
+
+
+def merge_upsert(
+    target: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keyed upsert semantics of db.py:45-65.
+
+    In-batch dedup on the conflict keys (LAST write wins, matching the
+    dict-overwrite at db.py:49-57), then replace matching target rows.
+    NULLs in conflict keys use null-safe equality (``<=>``) — the
+    documented fix for the reference's degenerate NULL-key upsert
+    (SURVEY §7 hard-part 6).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col) if order_col else F.monotonically_increasing_id().desc()
+    )
+    deduped = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if target is None:
+        return deduped
+    cond = None
+    for k in keys:
+        clause = target[k].eqNullSafe(deduped[k])
+        cond = clause if cond is None else (cond & clause)
+    kept = target.join(deduped, on=cond, how="left_anti")
+    return kept.unionByName(deduped.select(*target.columns))
+
+
+class ParquetMergeWriter:
+    """MERGE-style writer over a parquet directory (Delta-less fallback).
+
+    Write path: read current target (if any) -> merge_upsert -> write to a
+    staging dir -> atomic-ish swap. Good enough for single-writer batch
+    jobs; a real deployment swaps this class for Delta ``MERGE INTO``
+    without touching callers.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+
+    def read(self) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, updates: DataFrame, order_col: str | None = None) -> int:
+        # The merged plan reads the current target lazily; writing to the
+        # staging dir executes that read BEFORE the old dir is removed, so
+        # no driver-side materialization is needed.
+        merged = merge_upsert(self.read(), updates, self.keys, order_col=order_col)
+        tmp = f"{self.path}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return self.spark.read.parquet(self.path).count()
+
+
+def build_fact_progress(
+    stg_progress: DataFrame, dim_students: DataFrame, dim_courses: DataFrame
+) -> DataFrame:
+    """fact_student_progress (dags/data_transformation_pipeline.py:142-181)."""
+    fact = attach_sk(stg_progress, dim_students, "student_id", "student_sk")
+    fact = attach_sk(fact, dim_courses, "course_id", "course_sk")
+    return fact.select(
+        "student_sk",
+        "course_sk",
+        date_key(F.col("event_timestamp").cast("date")).alias("date_key"),
+        "event_id",
+        "event_type",
+        "module_id",
+        F.col("duration_seconds"),
+        F.col("score"),
+        F.col("completion_percentage"),
+        F.col("event_timestamp"),
+        F.col("quality_score"),
+    )
+
+
+def build_fact_tickets(stg_tickets: DataFrame, dim_students: DataFrame) -> DataFrame:
+    """fact_support_tickets (dags/data_transformation_pipeline.py:184-227);
+    resolution_time_hours left NULL exactly like the reference (:218)."""
+    fact = attach_sk(stg_tickets, dim_students, "student_id", "student_sk")
+    return fact.select(
+        "student_sk",
+        date_key(F.col("created_date")).alias("date_key"),
+        "ticket_id",
+        "subject",
+        "description",
+        "priority",
+        "status",
+        "category",
+        "created_date",
+        "resolved_date",
+        F.lit(None).cast("double").alias("resolution_time_hours"),
+        "quality_score",
+    )
+
+
+def build_fact_enrollments(
+    stg_students: DataFrame, dim_students: DataFrame, dim_courses: DataFrame | None = None
+) -> DataFrame:
+    """fact_enrollments (dags/data_transformation_pipeline.py:239-279).
+
+    The reference zeroes the progress measures and has no course linkage
+    (course_sk NULL — which degrades its Postgres upsert to a single row;
+    BASELINE.md). We keep course_sk NULL for parity but merge with
+    null-safe keys so every student row survives.
+    """
+    fact = attach_sk(stg_students, dim_students, "student_id", "student_sk")
+    return fact.select(
+        "student_sk",
+        F.lit(None).cast("long").alias("course_sk"),
+        date_key(F.col("enrollment_date")).alias("date_key"),
+        F.col("enrollment_date"),
+        F.col("fee_paid"),
+        F.col("payment_status"),
+        F.lit(0.0).alias("completion_percentage"),
+        F.lit(None).cast("double").alias("avg_score"),
+        F.lit(0).alias("total_time_spent_minutes"),
+    )

@@ -1,0 +1,186 @@
+"""Warehouse + analytics layer tests."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.operators import analytics, transform, warehouse
+
+
+def test_dim_date_golden(spark):
+    dim = warehouse.build_dim_date(spark)
+    assert dim.count() == 2557  # 2020-01-01..2026-12-31 (reference seed)
+    rows = {r.full_date: r for r in dim.where(
+        F.col("full_date").isin("2024-01-01", "2024-01-07", "2026-12-31")
+    ).collect()}
+    d = datetime.date
+    jan1 = rows[d(2024, 1, 1)]  # Monday
+    assert (jan1.date_key, jan1.day_of_week, jan1.day_name) == (20240101, 1, "Monday")
+    assert (jan1.week_of_year, jan1.month_name, jan1.quarter) == (1, "January", 1)
+    assert jan1.is_weekend is False
+    sun = rows[d(2024, 1, 7)]  # Sunday -> DOW 0, weekend
+    assert (sun.day_of_week, sun.is_weekend) == (0, True)
+    eoy = rows[d(2026, 12, 31)]
+    assert (eoy.date_key, eoy.year, eoy.quarter) == (20261231, 2026, 4)
+
+
+def test_surrogate_keys(spark):
+    df = spark.createDataFrame([("A",), ("B",), ("C",)], "k string")
+    hashed = warehouse.with_surrogate_key(df, "k", "sk")
+    assert hashed.select("sk").distinct().count() == 3
+    # deterministic across invocations
+    again = warehouse.with_surrogate_key(df, "k", "sk")
+    assert {tuple(r) for r in hashed.collect()} == {tuple(r) for r in again.collect()}
+    dense = warehouse.with_surrogate_key(df, "k", "sk", dense=True)
+    assert [r.sk for r in dense.orderBy("k").collect()] == [1, 2, 3]
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [("K1", "old1", 1), ("K2", "old2", 1)], "k string, v string, seq int"
+    )
+    updates = spark.createDataFrame(
+        [("K2", "new2a", 2), ("K2", "new2b", 3), ("K3", "new3", 2)],
+        "k string, v string, seq int",
+    )
+    merged = warehouse.merge_upsert(target, updates, ["k"], order_col="seq")
+    got = {(r.k, r.v) for r in merged.collect()}
+    # in-batch last-write-wins on K2; K1 untouched; K3 inserted
+    assert got == {("K1", "old1"), ("K2", "new2b"), ("K3", "new3")}
+
+
+def test_merge_upsert_null_keys(spark):
+    target = spark.createDataFrame([(None, "old", 1)], "k string, v string, seq int")
+    updates = spark.createDataFrame([(None, "new", 2)], "k string, v string, seq int")
+    merged = warehouse.merge_upsert(target, updates, ["k"], order_col="seq")
+    got = [(r.k, r.v) for r in merged.collect()]
+    assert got == [(None, "new")]  # null-safe equality: NULL key matches NULL key
+
+
+def test_parquet_merge_writer(spark, tmp_path):
+    path = str(tmp_path / "dim")
+    writer = warehouse.ParquetMergeWriter(spark, path, keys=["k"])
+    first = spark.createDataFrame([("K1", "a", 1), ("K2", "b", 1)], "k string, v string, seq int")
+    assert writer.merge(first, order_col="seq") == 2
+    second = spark.createDataFrame([("K2", "b2", 2), ("K3", "c", 2)], "k string, v string, seq int")
+    assert writer.merge(second, order_col="seq") == 3
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("K1", "a"), ("K2", "b2"), ("K3", "c")}
+
+
+def test_star_flow_and_views(spark):
+    stg_students = spark.createDataFrame(
+        [
+            ("STU001", "John Doe", 80, "2024-01-15", 50000.0, "Paid"),
+            ("STU002", "Jane Smith", 50, "2024-02-20", 0.0, "Pending"),
+        ],
+        "student_id string, full_name string, quality_score int, "
+        "enrollment_date string, fee_paid double, payment_status string",
+    ).withColumn("enrollment_date", F.col("enrollment_date").cast("date"))
+    dim_students = warehouse.with_surrogate_key(stg_students, "student_id", "student_sk")
+
+    stg_tickets = spark.createDataFrame(
+        [
+            ("TKT1", "STU001", "Cannot access", "does not load", "Open", "2024-02-01"),
+            ("TKT2", "STU001", "Thanks", "all good", "Resolved", "2024-02-02"),
+            ("TKT3", "STU002", "Refund", "want my money back", "Open", "2024-02-03"),
+        ],
+        "ticket_id string, student_id string, subject string, description string, "
+        "status string, created_date string",
+    ).withColumn("created_date", F.col("created_date").cast("date")).withColumn(
+        "quality_score", F.lit(100)
+    ).withColumn("category", F.lit("Support")).withColumn(
+        "priority", F.lit("Low")
+    ).withColumn("resolved_date", F.lit(None).cast("date"))
+    fact_tickets = warehouse.build_fact_tickets(stg_tickets, dim_students)
+    assert fact_tickets.where(F.col("student_sk").isNull()).count() == 0
+    assert fact_tickets.select("date_key").first().date_key == 20240201
+
+    sentiment, sscore, _ = transform.ticket_sentiment(F.col("subject"), F.col("description"))
+    enriched = fact_tickets.withColumn("ai_sentiment", sentiment)
+    # "Cannot access ... does not load" contains "not" twice -> Negative
+    neg = {r.ticket_id: r.ai_sentiment for r in enriched.collect()}
+    assert neg["TKT1"] == "Negative" and neg["TKT2"] == "Neutral"
+
+    # student 360 with decorrelated ticket counts
+    dim_full = dim_students.select(
+        "student_sk", "student_id", "full_name", "fee_paid", "payment_status",
+        "enrollment_date", "quality_score",
+    ).withColumns({
+        "email": F.lit(None).cast("string"), "phone": F.lit(None).cast("string"),
+        "age": F.lit(25), "age_group": F.lit("23-27"), "city": F.lit("Mumbai"),
+        "state": F.lit("MH"), "enrollment_status": F.lit("ACTIVE"),
+        "total_courses_enrolled": F.lit(1), "total_time_spent_hours": F.lit(2.0),
+        "avg_score": F.lit(80.0), "last_activity_date": F.lit(None).cast("date"),
+        "days_since_last_activity": F.lit(3), "ai_risk_score": F.lit(80.0),
+        "ai_risk_category": F.lit("Critical"),
+    })
+    v360 = analytics.v_student_360(dim_full, enriched)
+    by_id = {r.student_id: r for r in v360.collect()}
+    assert (by_id["STU001"].total_tickets, by_id["STU001"].open_tickets) == (2, 1)
+    assert (by_id["STU002"].total_tickets, by_id["STU002"].open_tickets) == (1, 1)
+
+    insights = analytics.v_ai_insights(dim_full, enriched)
+    vals = {r.metric_name: r.metric_value for r in insights.collect()}
+    assert vals == {
+        "High Risk Students": 2,
+        "Negative Sentiment Tickets": 1,
+        "Low Quality Records": 1,
+    }
+
+
+def test_risk_score(spark):
+    df = spark.createDataFrame(
+        [
+            (True, 80.0, "Paid"),       # only payment != completed -> 15 Low
+            (True, 80.0, "completed"),  # 0 -> Low
+            (False, 10.0, "pending"),   # 20+25+15 = 60 High
+            (False, None, "COMPLETED"), # 20+25 = 45 Medium
+        ],
+        "recent boolean, completion double, payment string",
+    )
+    score, bucket = transform.risk_score(
+        F.col("recent"), F.col("completion"), F.col("payment")
+    )
+    rows = df.select(score.alias("s"), bucket.alias("b")).collect()
+    assert [(r.s, r.b) for r in rows] == [
+        (15, "Low"), (0, "Low"), (60, "High"), (45, "Medium"),
+    ]
+
+
+def test_progress_and_course_summaries(spark):
+    now = F.lit("2024-02-10 00:00:00").cast("timestamp")
+    progress = spark.createDataFrame(
+        [
+            ("STU001", "CRS001", "2024-02-08 10:00:00", 3600, 80.0, 100.0),
+            ("STU001", "CRS002", "2024-02-01 10:00:00", 1800, 90.0, 50.0),
+            ("STU001", None, "2024-01-01 10:00:00", 0, None, None),
+            ("STU002", "CRS001", "2024-02-09 10:00:00", 7200, 70.0, 100.0),
+        ],
+        "student_id string, course_id string, event_timestamp string, "
+        "duration_seconds int, score double, completion_percentage double",
+    ).withColumn("event_timestamp", F.col("event_timestamp").cast("timestamp"))
+    summary = {
+        r.student_id: r
+        for r in transform.student_progress_summary(progress, now).collect()
+    }
+    s1 = summary["STU001"]
+    assert s1.total_courses_enrolled == 2
+    assert s1.total_modules_completed == 1
+    assert s1.avg_score == 85.0
+    assert s1.total_time_spent_hours == 1.5
+    assert s1.last_activity_date == datetime.date(2024, 2, 8)
+    assert s1.activity_count_7_days == 1
+    assert s1.activity_count_30_days == 2
+    glob = transform.student_progress_summary(progress, now, per_student=False).collect()[0]
+    assert glob.total_courses_enrolled == 2 and glob.total_modules_completed == 2
+
+    courses = {
+        r.course_id: r for r in transform.course_summary(progress).collect()
+    }
+    assert courses["CRS001"].total_enrollments == 2
+    assert courses["CRS001"].avg_completion_rate == 100.0
+    assert courses["CRS001"].avg_score == 75.0
+    assert courses[None].avg_completion_rate == 0.0  # null completion -> 0
