@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline suite queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from edu_data_pipeline_spark.session import get_spark
+from edu_data_pipeline_spark.suite import load_all
+
+# Headline set: the heavier operators (joins, aggregates, windows, dedup,
+# similarity). Cheap constant-output queries are excluded from the bench.
+HEADLINE = [
+    "pricing_summary",
+    "top_orders",
+    "region_revenue",
+    "top_customer_per_nation",
+    "events_user_summary",
+    "daily_metrics",
+    "events_hourly",
+    "customer_360",
+    "risk_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="edu-data-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    # include any later-registered heavy ops tagged into the headline set
+    timings: dict[str, float] = {}
+    # warm up the JVM/scan path once (excluded from timings)
+    registry["pricing_summary"].fn(spark, sf_dir).count()
+    for name in names:
+        start = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -58,6 +58,10 @@ def get_spark(
         # pin them so the bench environment can't silently regress.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # The driver testdata stores events.ts as TIMESTAMP(NANOS), which
+        # Spark cannot read natively; read as long and convert in the
+        # source layer (sources/testdata.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

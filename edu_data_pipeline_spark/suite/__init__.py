@@ -1,0 +1,88 @@
+"""Query suite: every SURVEY §2 operator as a named (spark_fn, oracle_sql) pair.
+
+The driver contract (``__spark_entry__.py``) exposes ``queries()`` and
+``oracle_sql()`` from this registry. Each entry:
+
+- ``fn(spark, sf_dir) -> DataFrame`` — the Spark-first implementation.
+- ``oracle`` — equivalent ANSI SQL for DuckDB over the same parquet tables
+  (views pre-registered by the driver), or ``None`` for genuinely
+  non-SQL-expressible operators (weaker rows-only check).
+
+Column names are aligned on both sides (the driver sorts columns by name
+before value-hashing); float aggregates are rounded identically on both
+sides to keep the hash stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuiteEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, SuiteEntry] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = SuiteEntry(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Deterministic float aggregates.
+#
+# A sum of doubles is order-dependent (Spark partial aggregation vs DuckDB's
+# sequential scan), so round(sum(double), n) can land on opposite sides of a
+# rounding boundary. Both engines sum DECIMAL exactly, so every aggregated
+# double goes through DECIMAL(28,10): identical exact sums -> identical
+# doubles -> identical rounding -> identical value hashes.
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(28,10)"
+
+
+def dsum(col, scale: int = 2):
+    """Deterministic rounded sum of a double column (Spark side)."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(col.cast(DEC)).cast("double"), scale)
+
+
+def davg(col, scale: int = 4):
+    """Deterministic rounded average (exact decimal sum / non-null count)."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE), {scale})"
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`davg`."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
+        f" / count({expr}), {scale})"
+    )
+
+
+def load_all() -> dict[str, SuiteEntry]:
+    """Import every suite module so registrations run, then return the registry."""
+    from . import analytics_suite  # noqa: F401
+    from . import cleaning_suite  # noqa: F401
+    from . import scale_suite  # noqa: F401
+
+    return REGISTRY

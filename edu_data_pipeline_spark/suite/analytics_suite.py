@@ -1,0 +1,543 @@
+"""Analytics/aggregation/join/window queries over the driver testdata.
+
+Each query demonstrates a SURVEY §2 operator family on the synthetic
+TPC-H-ish tables, with a DuckDB oracle twin. Float aggregates go through
+exact decimal sums (see suite.dsum/davg) so value hashes match the oracle
+bit-for-bit. Scale notes inline: dims (region/nation) broadcast; facts
+aggregate with map-side partials; windows partition by bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.dates import date_key
+from ..sources.testdata import table
+from . import davg, dsum, register, sql_davg, sql_dsum
+
+# Fixed reference clock for event-window queries (events span Jan 2024).
+NOW_DATE = "2024-01-31"
+
+
+# ---------------------------------------------------------------------------
+# A4-style pricing summary (scan + filter + hash aggregate; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')}                                    AS sum_qty,
+           {sql_dsum('l_extendedprice')}                               AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')}                                    AS avg_qty,
+           {sql_davg('l_extendedprice')}                               AS avg_price,
+           {sql_davg('l_discount')}                                    AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2-style star join + top-k (broadcastable dims, sort + limit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_orders",
+    oracle=f"""
+    SELECT o_orderkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) DESC,
+             o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(disc_price.cast("decimal(28,10)")).alias("revenue_exact"),
+        )
+        # rank on the EXACT decimal so the top-10 cut is deterministic
+        .orderBy(F.desc("revenue_exact"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.round(F.col("revenue_exact").cast("double"), 2).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/J5-style multi-dim star join + group (region/nation broadcast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name", "r_name")
+    )
+    cust = F.broadcast(c.join(dims, c.c_nationkey == F.col("n_nationkey")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(disc_price).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window function (SK-style row_number; D2's mechanism)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_customer_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) = 1
+    """,
+)
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — per-user event summary (progress-summary shape on events)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_user_summary",
+    oracle=f"""
+    SELECT user_id,
+           count(*)                                       AS n_events,
+           count(DISTINCT event_type)                     AS n_event_types,
+           {sql_davg('value')}                            AS avg_value,
+           {sql_dsum('value')}                            AS total_value,
+           max(ts)                                        AS last_ts,
+           count(*) FILTER (WHERE datediff('day', CAST(ts AS DATE), DATE '{NOW_DATE}') < 7)
+                                                          AS events_7d,
+           count(*) FILTER (WHERE datediff('day', CAST(ts AS DATE), DATE '{NOW_DATE}') < 30)
+                                                          AS events_30d
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    days_ago = F.datediff(F.lit(NOW_DATE).cast("date"), F.col("ts").cast("date"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        davg(F.col("value")).alias("avg_value"),
+        dsum(F.col("value")).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.when(days_ago < 7, 1)).alias("events_7d"),
+        F.count(F.when(days_ago < 30, 1)).alias("events_30d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — per-type summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_summary",
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events,
+           {sql_davg('value')}     AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — anomaly detection (error-rate > 0.2 per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_anomaly",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           (count(*) FILTER (WHERE event_type = 'error')) * 1.0 / count(*) > 0.2 AS anomaly
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    return agg.withColumn(
+        "anomaly", (F.col("n_errors") * 1.0 / F.col("n_events")) > 0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — deterministic risk scoring (when-chain arithmetic)
+# ---------------------------------------------------------------------------
+
+_RISK_EXPR = """
+             (CASE WHEN NOT recent_activity THEN 20 ELSE 0 END)
+             + (CASE WHEN coalesce(completion_rate, 0) < 30 THEN 25 ELSE 0 END)
+             + (CASE WHEN lower(payment_status) != 'completed' THEN 15 ELSE 0 END)
+"""
+
+
+@register(
+    "risk_scores",
+    oracle=f"""
+    WITH feats AS (
+      SELECT c_custkey,
+             c_acctbal > 0 AS recent_activity,
+             least(c_acctbal / 100.0, 100.0) AS completion_rate,
+             CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                  THEN 'completed' ELSE 'pending' END AS payment_status
+      FROM customer
+    ), scored AS (
+      SELECT c_custkey, least({_RISK_EXPR}, 100) AS risk_score FROM feats
+    )
+    SELECT c_custkey, risk_score,
+           CASE WHEN risk_score >= 75 THEN 'Critical'
+                WHEN risk_score >= 50 THEN 'High'
+                WHEN risk_score >= 25 THEN 'Medium'
+                ELSE 'Low' END AS risk_category
+    FROM scored
+    """,
+)
+def risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transform import risk_score
+
+    c = table(spark, sf_dir, "customer")
+    feats = c.select(
+        "c_custkey",
+        (F.col("c_acctbal") > 0).alias("recent_activity"),
+        F.least(F.col("c_acctbal") / 100.0, F.lit(100.0)).alias("completion_rate"),
+        F.when(
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), "completed"
+        ).otherwise("pending").alias("payment_status"),
+    )
+    score, bucket = risk_score(
+        F.col("recent_activity"), F.col("completion_rate"), F.col("payment_status")
+    )
+    return feats.select(
+        "c_custkey", score.alias("risk_score"), bucket.alias("risk_category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — sentiment stub on documents ("slow" as the trigger token here;
+# same substring semantics as the reference's "not")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_sentiment",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN contains(lower(text), 'slow') THEN 'Negative' ELSE 'Neutral' END AS sentiment,
+           CASE WHEN contains(lower(text), 'slow') THEN -0.2 ELSE 0.0 END AS sentiment_score
+    FROM documents
+    """,
+)
+def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    negative = F.lower(F.col("text")).contains("slow")
+    return d.select(
+        "doc_id",
+        F.when(negative, "Negative").otherwise("Neutral").alias("sentiment"),
+        F.when(negative, F.lit(-0.2)).otherwise(F.lit(0.0)).alias("sentiment_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — labelled conditional counts glued by UNION ALL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ai_insights",
+    oracle="""
+    SELECT 'High Balance Customers' AS metric_name, count(*) AS metric_value,
+           'Customers with acctbal > 9000' AS description
+    FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT 'Urgent Orders', count(*), 'Orders with 1-URGENT priority'
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT 'Negative Balance Customers', count(*), 'Customers with acctbal < 0'
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def ai_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    high = c.where(F.col("c_acctbal") > 9000).agg(
+        F.lit("High Balance Customers").alias("metric_name"),
+        F.count(F.lit(1)).alias("metric_value"),
+        F.lit("Customers with acctbal > 9000").alias("description"),
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.lit("Urgent Orders").alias("metric_name"),
+        F.count(F.lit(1)).alias("metric_value"),
+        F.lit("Orders with 1-URGENT priority").alias("description"),
+    )
+    negative = c.where(F.col("c_acctbal") < 0).agg(
+        F.lit("Negative Balance Customers").alias("metric_name"),
+        F.count(F.lit(1)).alias("metric_value"),
+        F.lit("Customers with acctbal < 0").alias("description"),
+    )
+    return high.unionByName(urgent).unionByName(negative)
+
+
+# ---------------------------------------------------------------------------
+# J3 — generated date dimension (2557 golden rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_date",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+           CAST(d AS DATE)                        AS full_date,
+           dayofweek(d)                           AS day_of_week,
+           dayname(d)                             AS day_name,
+           dayofmonth(d)                          AS day_of_month,
+           weekofyear(d)                          AS week_of_year,
+           month(d)                               AS month_number,
+           monthname(d)                           AS month_name,
+           quarter(d)                             AS quarter,
+           year(d)                                AS year,
+           dayofweek(d) IN (0, 6)                 AS is_weekend
+    FROM generate_series(DATE '2020-01-01', DATE '2026-12-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def dim_date_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.warehouse import build_dim_date
+
+    return build_dim_date(spark)
+
+
+# ---------------------------------------------------------------------------
+# A6 — daily metrics gold job on events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_metrics",
+    oracle=f"""
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER)        AS date_key,
+           count(DISTINCT user_id)                        AS active_users,
+           count(*)                                       AS total_events,
+           {sql_davg('value')}                            AS avg_value,
+           count(*) FILTER (WHERE event_type = 'error')   AS error_count
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(date_key(F.col("ts").cast("date")).alias("date_key"))
+        .agg(
+            F.count_distinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("total_events"),
+            davg(F.col("value")).alias("avg_value"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch-equivalent: tumbling hourly window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts)  AS window_start,
+           count(*)                AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {sql_davg('value')}     AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            davg(F.col("value")).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C12-style literal map lookup on orders
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_status_map",
+    oracle=f"""
+    SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
+                              WHEN 'P' THEN 'PARTIAL' ELSE 'UNKNOWN' END AS status,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_value
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_status_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    mapping = F.create_map(
+        F.lit("O"), F.lit("OPEN"), F.lit("F"), F.lit("FULFILLED"),
+        F.lit("P"), F.lit("PARTIAL"),
+    )
+    return (
+        o.groupBy(
+            F.coalesce(mapping[F.col("o_orderstatus")], F.lit("UNKNOWN")).alias("status")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — decorrelated scalar subqueries (student-360 shape on customer/orders)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_360",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal,
+           coalesce(o.total_orders, 0) AS total_orders,
+           coalesce(o.open_orders, 0)  AS open_orders,
+           coalesce(o.total_spent, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey,
+             count(*) AS total_orders,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS open_orders,
+             {sql_dsum('o_totalprice')} AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
+        dsum(F.col("o_totalprice")).alias("total_spent"),
+    )
+    return c.join(counts, c.c_custkey == counts.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.coalesce("total_orders", F.lit(0)).alias("total_orders"),
+        F.coalesce("open_orders", F.lit(0)).alias("open_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
