@@ -2,14 +2,543 @@
 
 These extend the reference surface per the BASELINE north star; each is a
 first-class queries() entry on the documents/embeddings tables.
+
+Scale design notes:
+- Exact dedup / fingerprints: hash-groupBy — one shuffle on the digest,
+  map-side combine; at 100 TB this is the canonical content-addressed
+  dedup pass.
+- MinHash: md5-per-(shingle,seed) minimum — md5 is identical in Spark and
+  DuckDB, so even the LSH banding is oracle-checkable. Signatures are one
+  explode + hash-agg; banding turns the O(n²) pair search into an
+  equi-join on band keys (the scale path). The brute-force n-gram Jaccard
+  pair query is the small-scale ground truth next to it.
+- SimHash: 16-bit demo width (per-bit conditional sums stay native
+  columns); widen to 64 by repeating the same pattern.
+- ANN: brute-force cosine top-k is the correctness baseline (rank on the
+  raw double, round only for output); the banded/label-partitioned
+  variants are the scale path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
 from . import register
 
-# (entries added as operators land)
+STOPWORDS = ("the", "a")
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), " ")
+
+
+@register(
+    "docs_text_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, n_chars, string_split(trim(text), ' ') AS tokens FROM documents
+    ), stats AS (
+      SELECT doc_id, n_chars,
+             len(tokens) AS n_tokens,
+             len(list_filter(tokens, t -> t IN ('the', 'a'))) AS n_stopwords,
+             len(list_filter(tokens, t -> length(t) >= 6)) AS n_long_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_chars, n_tokens, n_stopwords,
+           round(n_stopwords * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+           round(n_long_tokens * 1.0 / greatest(n_tokens, 1), 4) AS long_token_ratio,
+           CASE WHEN n_tokens < 20 THEN 'short'
+                WHEN n_stopwords * 1.0 / greatest(n_tokens, 1) > 0.15 THEN 'boilerplate'
+                ELSE 'ok' END AS quality_bucket
+    FROM stats
+    """,
+)
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+    stats = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS))).alias("n_stopwords"),
+        F.size(F.filter(tokens, lambda t: F.length(t) >= 6)).alias("n_long_tokens"),
+    )
+    stop_ratio = F.col("n_stopwords") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+    long_ratio = F.col("n_long_tokens") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
+    return stats.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_stopwords",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(long_ratio, 4).alias("long_token_ratio"),
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(stop_ratio > 0.15, "boilerplate")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+@register(
+    "docs_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS tokens FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(tokens, t -> t IN ('the', 'a', 'and'))) AS en_hits,
+             len(list_filter(tokens, t -> t IN ('der', 'und', 'die'))) AS de_hits,
+             len(list_filter(tokens, t -> t IN ('le', 'la', 'et')))   AS fr_hits,
+             len(list_filter(tokens, t -> t IN ('el', 'los', 'y')))   AS es_hits
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+                WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+                WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS guessed_lang,
+           (CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+                WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+                WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END) = lang AS agrees_with_label
+    FROM scores
+    """,
+)
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+
+    def hits(words: tuple[str, ...]) -> Column:
+        return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+    scored = d.select(
+        "doc_id",
+        "lang",
+        hits(("the", "a", "and")).alias("en_hits"),
+        hits(("der", "und", "die")).alias("de_hits"),
+        hits(("le", "la", "et")).alias("fr_hits"),
+        hits(("el", "los", "y")).alias("es_hits"),
+    )
+    top = F.greatest("en_hits", "de_hits", "fr_hits", "es_hits")
+    guess = (
+        F.when(top == 0, "unknown")
+        .when(F.col("en_hits") >= F.greatest("de_hits", "fr_hits", "es_hits"), "en")
+        .when(F.col("de_hits") >= F.greatest("fr_hits", "es_hits"), "de")
+        .when(F.col("fr_hits") >= F.col("es_hits"), "fr")
+        .otherwise("es")
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        guess.alias("guessed_lang"),
+        (guess == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprints (content-addressed hashing)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@register(
+    "docs_exact_dedup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, md5({_NORM}) AS content_hash FROM documents
+    )
+    SELECT content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*)    AS n_copies,
+           count(*) > 1 AS is_duplicated
+    FROM hashed GROUP BY content_hash
+    """,
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return (
+        d.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.count(F.lit(1)) > 1).alias("is_duplicated"),
+        )
+    )
+
+
+@register(
+    "docs_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM}) AS content_fp,
+           md5(substr({_NORM}, 1, 64)) AS prefix_fp,
+           length({_NORM}) AS norm_len
+    FROM documents
+    """,
+)
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.md5(F.substring(norm, 1, 64)).alias("prefix_fp"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: word-3-gram shingles
+# ---------------------------------------------------------------------------
+
+_SQL_SHINGLES = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1)),
+               i -> string_split(trim(text), ' ')[i] || ' '
+                    || string_split(trim(text), ' ')[i+1] || ' '
+                    || string_split(trim(text), ' ')[i+2])) AS shingles
+      FROM documents
+"""
+
+
+def _shingles(col: Column) -> Column:
+    tokens = _tokens(col)
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(tokens, i),
+            F.element_at(tokens, i + 1),
+            F.element_at(tokens, i + 2),
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+@register(
+    "docs_jaccard_top_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM exploded a JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .orderBy(jac.desc(), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (md5-based, fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+
+_SQL_MINHASH_AGGS = ",\n".join(
+    f"             min(md5(s || '#{i}')) AS sig_{i}" for i in range(N_HASHES)
+)
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    )
+    SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+    FROM exploded GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+_SQL_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {b} AS band_idx, sig_{2*b} || '|' || sig_{2*b+1} AS band_key FROM sigs"
+    for b in range(N_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM exploded GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{b}, concat(sig_{2*b}, '|', sig_{2*b+1})" for b in range(N_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit demo width; same pattern widens to 64)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+_SQL_BIT_SUMS = ",\n".join(
+    f"             sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SQL_BIT_COMBINE = " + ".join(
+    f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "docs_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 4) AS UINTEGER) AS BIGINT) AS h
+      FROM toks
+    ), bit_sums AS (
+      SELECT doc_id,
+{_SQL_BIT_SUMS}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SQL_BIT_COMBINE} AS BIGINT) AS simhash
+    FROM bit_sums
+    """,
+)
+def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("long")
+    hashed = toks.select("doc_id", h.alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s_{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    combined = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        combined = term if combined is None else combined + term
+    return bit_sums.select("doc_id", combined.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+    )
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", _cosine(F.col("emb"), F.col("qv")).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "knn_top_per_label",
+    oracle="""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT label, vec_id, round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) <= 3
+    """,
+)
+def knn_top_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.col("embedding").cast("array<double>")
+    )
+    q = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv")))
+    scored = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", _cosine(F.col("emb"), F.col("qv")).alias("cos"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("label", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_top_pairs",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+               WHERE vec_id % 4 = 0),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             (a.label = b.label) AS same_label,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, same_label, round(cos, 6) AS cosine
+    FROM pairs
+    ORDER BY cos DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force near-dup pair search on a deterministic 1/4 sample.
+
+    The sample bounds the O(n²) pair space; the LSH/banded path
+    (minhash_lsh_pairs) is the full-corpus scale strategy.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 4 == 0)
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            (F.col("a.label") == F.col("b.label")).alias("same_label"),
+            cos.alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+        .select("vec_a", "vec_b", "same_label", F.round("cos", 6).alias("cosine"))
+    )
