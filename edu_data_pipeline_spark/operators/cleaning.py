@@ -189,10 +189,14 @@ def clean_progress(
     df: DataFrame,
     ref_ts: Column | None = None,
     batch_id: str | None = None,
+    mark_dupes: bool = True,
 ) -> DataFrame:
     """Progress raw -> staging.stg_progress shape (cleaners.py:56-89).
 
-    Flags: student, score, completion, duration, timestamp (5 -> quality)."""
+    Flags: student, score, completion, duration, timestamp (5 -> quality).
+    ``mark_dupes=False`` skips the D1 window (required on streaming frames,
+    where the reference also hardcodes is_duplicate=False —
+    kafka/streaming.py:192)."""
     sid = rules.standardize_student_id("student_id")
     score = rules.validate_score("score")
     completion = rules.validate_score("completion_percentage")
@@ -217,6 +221,8 @@ def clean_progress(
         quality.alias("quality_score"),
         F.lit(batch_id).cast("string").alias("batch_id"),
     )
+    if not mark_dupes:
+        return cleaned.withColumn("is_duplicate", F.lit(False))
     return mark_duplicates(cleaned, "event_id")
 
 

@@ -1,0 +1,176 @@
+"""Structured Streaming jobs (reference kafka/streaming.py + docx Part 2).
+
+The reference's hand-rolled consumer loop becomes one
+``readStream -> shared cleaning expressions -> watermark + windows ->
+routed sinks`` query. Key wins over the reference:
+
+- The SAME Column expressions clean batch and stream (the reference
+  duplicates cleaning logic between operators and the Kafka consumer).
+- The count-bounded "window" placeholder (kafka/streaming.py:72-75)
+  becomes real event-time tumbling/sliding windows with a watermark —
+  the docx-specified 1-min/5-min windows.
+- Late-data policy (the reference has none): events later than the
+  watermark are dropped by Spark; the watermark is a constructor
+  parameter and documented per-job.
+- DLQ/alerts are filtered side-outputs of the one cleaned stream, not
+  separate consumer branches.
+
+Scale: streaming state is keyed by (student_id[, window]) — partitioned
+state in the state store, no driver-side dicts; ``foreachBatch`` upserts
+go through the same merge writer as batch (exactly-once per checkpoint +
+idempotent MERGE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.cleaning import clean_progress
+from ..operators.warehouse import ParquetMergeWriter
+
+PROGRESS_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.StringType()),
+        T.StructField("student_id", T.StringType()),
+        T.StructField("course_id", T.StringType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_timestamp", T.StringType()),
+        T.StructField("duration_seconds", T.StringType()),
+        T.StructField("score", T.StringType()),
+        T.StructField("module_id", T.StringType()),
+        T.StructField("completion_percentage", T.StringType()),
+    ]
+)
+
+
+def read_event_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """S6-equivalent file-replay source: JSON event files appear in a dir
+    (the test/dev stand-in for the Kafka topic ``raw.student.events``)."""
+    return (
+        spark.readStream.schema(PROGRESS_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def simulated_event_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Rate-source producer mirroring EventSimulatorProducer
+    (kafka/streaming.py:25-49): synthesizes progress events at
+    ``rows_per_second`` with an event_time stamp and source tag."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    v = F.col("value")
+    return rate.select(
+        F.concat(F.lit("evt-"), v.cast("string")).alias("event_id"),
+        F.concat(F.lit("STU"), F.lpad((v % 50).cast("string"), 3, "0")).alias(
+            "student_id"
+        ),
+        F.concat(F.lit("CRS"), F.lpad((v % 10).cast("string"), 3, "0")).alias(
+            "course_id"
+        ),
+        F.element_at(
+            F.array(F.lit("video_watched"), F.lit("quiz_completed"), F.lit("assignment_submitted")),
+            (v % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss").alias("event_timestamp"),
+        ((v % 100) * 60).cast("string").alias("duration_seconds"),
+        # every ~6th event carries an invalid score to light up the DLQ path
+        F.when(v % 6 == 0, F.lit("not-a-score")).otherwise(
+            ((v % 150)).cast("string")
+        ).alias("score"),
+        F.concat(F.lit("MOD"), F.lpad((v % 5).cast("string"), 3, "0")).alias("module_id"),
+        (v % 110).cast("string").alias("completion_percentage"),
+        F.col("timestamp").alias("ingest_time"),
+        F.lit("rate-simulator").alias("source"),
+    )
+
+
+def clean_event_stream(events: DataFrame, ref_ts: Column | None = None) -> DataFrame:
+    """Shared-rules cleaning on the stream (S7's cleaning half).
+
+    Identical Column expressions to the batch staging job — the design win
+    SURVEY §2.8 calls out. ``is_valid`` mirrors the reference's per-event
+    flag (score parse failure -> invalid, kafka/streaming.py:119-127).
+    """
+    cleaned = clean_progress(events, ref_ts=ref_ts, mark_dupes=False)
+    return cleaned.withColumn(
+        "is_valid",
+        F.col("is_score_valid") & F.col("is_timestamp_valid") & F.col("is_student_valid"),
+    )
+
+
+def route_streams(cleaned: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split into (good, dlq): the DLQ carries rows whose cleaning failed
+    (reference: per-event exception -> dlq topic, kafka/streaming.py:112-114)."""
+    dlq = cleaned.where(~F.col("is_valid")).withColumn(
+        "error", F.lit("failed-validation")
+    )
+    good = cleaned.where(F.col("is_valid"))
+    return good, dlq
+
+
+def windowed_student_metrics(
+    cleaned: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: str | None = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """A7 as real event-time windows (docx 1-min/5-min spec): per-student
+    sliding-window count/duration/errors + A8 anomaly flag."""
+    win = (
+        F.window("event_timestamp", window_duration, slide)
+        if slide
+        else F.window("event_timestamp", window_duration)
+    )
+    agg = (
+        cleaned.withWatermark("event_timestamp", watermark)
+        .groupBy(win.alias("win"), F.col("student_id"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum(F.coalesce(F.col("duration_seconds"), F.lit(0))).alias("duration"),
+            F.sum((~F.col("is_valid")).cast("int")).alias("errors"),
+        )
+    )
+    return agg.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        "student_id",
+        "count",
+        "duration",
+        "errors",
+        ((F.col("errors") / F.greatest(F.col("count"), F.lit(1))) > 0.2).alias("anomaly"),
+    )
+
+
+def rolling_student_metrics(cleaned: DataFrame) -> DataFrame:
+    """Un-windowed running per-student totals (parity with the reference's
+    StreamAggregator dict, kafka/streaming.py:52-70); update output mode."""
+    return cleaned.groupBy("student_id").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(F.coalesce(F.col("duration_seconds"), F.lit(0))).alias("duration"),
+        F.sum((~F.col("is_valid")).cast("int")).alias("errors"),
+    ).withColumn(
+        "anomaly",
+        (F.col("errors") / F.greatest(F.col("count"), F.lit(1))) > 0.2,
+    )
+
+
+def foreach_batch_upsert(writer: ParquetMergeWriter, order_col: str = "event_timestamp"):
+    """S7: stream -> staging upsert on event_id via foreachBatch MERGE.
+
+    Idempotent per batch (keyed merge), so checkpoint replays are safe —
+    the Structured-Streaming equivalent of the reference's
+    INSERT .. ON CONFLICT (event_id) DO UPDATE (kafka/streaming.py:200).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.merge(batch_df.withColumn("stream_batch_id", F.lit(batch_id)), order_col=order_col)
+
+    return _write

@@ -542,3 +542,57 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_a", "vec_b", "same_label", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; stubbed codecs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+           CAST(64 + (doc_id % 5) * 32 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata plumbing for binary media columns (oracle-checked;
+    the payload bytes themselves are checked by pytest + the rows-only
+    multimodal_features entry)."""
+    from ..operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@register("multimodal_features", oracle=None)  # rows-only: Arrow/pandas UDF path
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic byte-histogram fake standing in for real codecs)."""
+    from ..operators.multimodal import attach_fake_media, extract_features
+
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id", "media_type", "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("bin_0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4).alias(
+            "feature_mass"
+        ),
+    )

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: binary payloads, Arrow batch UDFs, stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.operators import multimodal
+
+
+def make_docs(spark):
+    rows = [(i, f"doc text number {i} " * (i + 1), "en", "src", 20 * (i + 1))
+            for i in range(6)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_attach_media_schema_and_types(spark):
+    media = multimodal.attach_fake_media(make_docs(spark))
+    assert [f.name for f in media.schema.fields] == ["doc_id", "media_type", "payload", "meta"]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows[0].media_type == "image" and rows[1].media_type == "audio"
+    assert rows[2].media_type == "video" and rows[2].meta.n_frames == 3
+    assert rows[1].meta.sample_rate == 16000
+    assert bytes(rows[0].payload).decode() == "doc text number 0 "
+    assert rows[0].meta.n_bytes == 18
+
+
+def test_extract_features_deterministic(spark):
+    media = multimodal.attach_fake_media(make_docs(spark))
+    f1 = multimodal.extract_features(media).collect()
+    f2 = multimodal.extract_features(media).collect()
+    assert sorted(map(tuple, f1)) == sorted(map(tuple, f2))
+    by_id = {r.doc_id: r for r in f1}
+    assert len(by_id[0].features) == multimodal.N_FEATURE_BINS
+    assert abs(sum(by_id[0].features) - 1.0) < 1e-9  # L1-normalized histogram
+    assert by_id[0].n_bytes == 18
+
+
+def test_real_codec_is_stubbed(spark):
+    media = multimodal.attach_fake_media(make_docs(spark))
+    with pytest.raises(Exception) as err:
+        multimodal.extract_features(media, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(err.value) or "media codecs" in str(err.value)
+
+
+def test_resize_and_frame_sampling(spark):
+    media = multimodal.attach_fake_media(make_docs(spark))
+    resized = multimodal.resize_media(media, max_bytes=10)
+    for r in resized.collect():
+        assert len(bytes(r.payload)) <= 10
+        assert r.meta.n_bytes <= 10
+    frames = multimodal.sample_frames(media, every_nth=1)
+    got = {(r.doc_id, r.frame_idx) for r in frames.collect()}
+    # doc 2 is video with n_frames = 2 % 30 + 1 = 3 -> frames 0,1,2
+    assert {(2, 0), (2, 1), (2, 2)} <= got
+    assert all(doc_id % 3 == 2 for doc_id, _ in got)  # only video rows

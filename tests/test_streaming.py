@@ -1,0 +1,136 @@
+"""Structured Streaming tests: shared cleaning, windows, DLQ routing,
+foreachBatch upsert. Uses a JSON file source + memory sinks."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.operators.warehouse import ParquetMergeWriter
+from edu_data_pipeline_spark.streaming import jobs
+
+EVENTS_BATCH_1 = [
+    {"event_id": "evt-001", "student_id": "STU001", "course_id": "CRS001",
+     "event_type": "video_watched", "event_timestamp": "2024-02-01T10:00:00",
+     "duration_seconds": "600", "score": "80.0", "module_id": "MOD001",
+     "completion_percentage": "50.0"},
+    {"event_id": "evt-002", "student_id": "stu-2", "course_id": "CRS001",
+     "event_type": "quiz_completed", "event_timestamp": "2024-02-01T10:02:00",
+     "duration_seconds": "300", "score": "150.0", "module_id": "MOD001",
+     "completion_percentage": "100.0"},
+    {"event_id": "evt-003", "student_id": "STU001", "course_id": "CRS002",
+     "event_type": "quiz_completed", "event_timestamp": "2024-02-01T10:03:00",
+     "duration_seconds": "x", "score": "not-a-score", "module_id": "MOD002",
+     "completion_percentage": "10.0"},
+]
+
+EVENTS_BATCH_2 = [
+    # same key as evt-001 -> upsert overwrite
+    {"event_id": "evt-001", "student_id": "STU001", "course_id": "CRS001",
+     "event_type": "video_watched", "event_timestamp": "2024-02-01T10:10:00",
+     "duration_seconds": "900", "score": "90.0", "module_id": "MOD001",
+     "completion_percentage": "75.0"},
+    {"event_id": "evt-004", "student_id": "STU003", "course_id": "CRS003",
+     "event_type": "assignment_submitted", "event_timestamp": "2024-02-01T10:11:00",
+     "duration_seconds": "100", "score": "70.0", "module_id": "MOD003",
+     "completion_percentage": "20.0"},
+]
+
+
+def write_events(path: str, events: list[dict], name: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def ref_ts():
+    return F.lit("2026-08-13 00:00:00").cast("timestamp")
+
+
+def test_stream_clean_and_route(spark, tmp_path):
+    src = str(tmp_path / "events")
+    write_events(src, EVENTS_BATCH_1, "b1.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    assert stream.isStreaming
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    good, dlq = jobs.route_streams(cleaned)
+
+    q1 = good.writeStream.format("memory").queryName("good_sink").outputMode("append").start()
+    q2 = dlq.writeStream.format("memory").queryName("dlq_sink").outputMode("append").start()
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop(); q2.stop()
+
+    good_rows = {r.event_id: r for r in spark.sql("SELECT * FROM good_sink").collect()}
+    dlq_rows = {r.event_id: r for r in spark.sql("SELECT * FROM dlq_sink").collect()}
+    assert set(good_rows) == {"evt-001"}
+    # evt-002: score 150 capped -> is_score_valid False -> routed to DLQ
+    assert set(dlq_rows) == {"evt-002", "evt-003"}
+    assert float(dlq_rows["evt-002"].score) == 100.0
+    assert dlq_rows["evt-002"].student_id == "STU002"  # shared C1 rule applied
+    assert dlq_rows["evt-003"].score is None
+    assert good_rows["evt-001"].quality_score == 100
+
+
+def test_stream_windowed_metrics(spark, tmp_path):
+    src = str(tmp_path / "events")
+    write_events(src, EVENTS_BATCH_1 + EVENTS_BATCH_2, "all.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    metrics = jobs.windowed_student_metrics(
+        cleaned, window_duration="5 minutes", slide="5 minutes"
+    )
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_sink").collect()
+    by_key = {(str(r.window_start), r.student_id): r for r in rows}
+    # STU001: evt-001+evt-003 in 10:00 window, evt-001b in 10:10 window
+    r1 = by_key[("2024-02-01 10:00:00", "STU001")]
+    assert (r1["count"], r1.duration, r1.errors) == (2, 600, 1)
+    assert bool(r1.anomaly) is True  # 1/2 error rate > 0.2
+    r2 = by_key[("2024-02-01 10:10:00", "STU001")]
+    assert (r2["count"], r2.errors, bool(r2.anomaly)) == (1, 0, False)
+    # STU002's capped score -> error in its window
+    r3 = by_key[("2024-02-01 10:00:00", "STU002")]
+    assert (r3["count"], r3.errors) == (1, 1)
+
+
+def test_stream_foreach_batch_upsert(spark, tmp_path):
+    src = str(tmp_path / "events")
+    target = str(tmp_path / "stg_progress")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, EVENTS_BATCH_1, "b1.json")
+
+    writer = ParquetMergeWriter(spark, target, keys=["event_id"])
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    q = (
+        cleaned.writeStream.foreachBatch(jobs.foreach_batch_upsert(writer))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    write_events(src, EVENTS_BATCH_2, "b2.json")
+    q.processAllAvailable()
+    q.stop()
+
+    final = {r.event_id: r for r in spark.read.parquet(target).collect()}
+    assert set(final) == {"evt-001", "evt-002", "evt-003", "evt-004"}
+    # evt-001 overwritten by batch 2 (upsert on event_id)
+    assert final["evt-001"].duration_seconds == 900
+    assert float(final["evt-001"].score) == 90.0
+
+
+def test_simulated_stream_shape(spark):
+    stream = jobs.simulated_event_stream(spark, rows_per_second=5)
+    assert stream.isStreaming
+    assert set(jobs.PROGRESS_EVENT_SCHEMA.fieldNames()) <= set(stream.columns)
