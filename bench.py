@@ -18,6 +18,7 @@ from edu_data_pipeline_spark.suite import load_all
 # Headline set: the heavier operators (joins, aggregates, windows, dedup,
 # similarity). Cheap constant-output queries are excluded from the bench.
 HEADLINE = [
+    # analytics / reference-pipeline surface
     "pricing_summary",
     "top_orders",
     "region_revenue",
@@ -27,6 +28,16 @@ HEADLINE = [
     "events_hourly",
     "customer_360",
     "risk_scores",
+    # cleaning pipeline at scale
+    "clean_student_ids",
+    "clean_dates",
+    "clean_cities",
+    "dedup_keep_last",
+    # training-data scale ops
+    "docs_exact_dedup",
+    "minhash_lsh_pairs",
+    "docs_simhash",
+    "knn_bruteforce",
 ]
 
 

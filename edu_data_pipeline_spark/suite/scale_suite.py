@@ -213,20 +213,25 @@ _SQL_SHINGLES = """
 """
 
 
-def _shingles(col: Column) -> Column:
-    tokens = _tokens(col)
-    n = F.size(tokens)
+def _shingle_frame(d: DataFrame) -> DataFrame:
+    """doc_id + distinct word-3-gram shingles.
+
+    The token array is materialized as a projection column first so
+    codegen computes the split ONCE per row — inlining the split into
+    every ``element_at`` makes shingling quadratic in document length."""
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("tokens"))
+    n = F.size(F.col("tokens"))
     idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0)))
-    sh = F.transform(
+    shingled = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ",
-            F.element_at(tokens, i),
-            F.element_at(tokens, i + 1),
-            F.element_at(tokens, i + 2),
+            F.element_at(F.col("tokens"), i),
+            F.element_at(F.col("tokens"), i + 1),
+            F.element_at(F.col("tokens"), i + 2),
         ),
     )
-    return F.array_distinct(sh)
+    return toks.select("doc_id", F.array_distinct(shingled).alias("shingles"))
 
 
 @register(
@@ -253,7 +258,7 @@ def _shingles(col: Column) -> Column:
 )
 def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sh = _shingle_frame(d)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     a = exploded.alias("a")
@@ -282,8 +287,19 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 
+# Carter-Wegman permutation family from ONE md5 per shingle: split the
+# digest into two 32-bit halves h1/h2, permutation_i = h1 + i*h2 (fits in
+# 36 bits — no overflow on either engine). 8x less hashing than
+# md5-per-seed at identical LSH quality; the canonical 100 TB trick.
+_SQL_HALVES = """
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(s), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(md5(s), 9, 8) AS UINTEGER) AS BIGINT) AS h2
+      FROM exploded
+"""
+
 _SQL_MINHASH_AGGS = ",\n".join(
-    f"             min(md5(s || '#{i}')) AS sig_{i}" for i in range(N_HASHES)
+    f"             min(h1 + {i} * h2) AS sig_{i}" for i in range(N_HASHES)
 )
 
 
@@ -293,20 +309,25 @@ _SQL_MINHASH_AGGS = ",\n".join(
     WITH sh AS ({_SQL_SHINGLES}),
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
-    )
+    ), halves AS ({_SQL_HALVES})
     SELECT doc_id,
 {_SQL_MINHASH_AGGS}
-    FROM exploded GROUP BY doc_id
+    FROM halves GROUP BY doc_id
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles(F.col("text"))).alias("s"))
+    sh = _shingle_frame(d).select("doc_id", F.explode("shingles").alias("s"))
+    m = F.md5(F.col("s"))
+    halves = sh.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"sig_{i}")
-        for i in range(N_HASHES)
+        F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}") for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return halves.groupBy("doc_id").agg(*aggs)
 
 
 _SQL_BANDS = "\n      UNION ALL\n".join(
@@ -321,10 +342,11 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
     WITH sh AS ({_SQL_SHINGLES}),
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), sigs AS (
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
       SELECT doc_id,
 {_SQL_MINHASH_AGGS}
-      FROM exploded GROUP BY doc_id
+      FROM halves GROUP BY doc_id
     ), bands AS (
 {_SQL_BANDS}
     )

@@ -1,0 +1,39 @@
+"""Physical-plan assertions: the plans we designed for are the plans we get."""
+
+from __future__ import annotations
+
+import pytest
+
+from edu_data_pipeline_spark.plans import inspect
+from edu_data_pipeline_spark.suite import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+REGISTRY = load_all()
+
+
+def test_filters_and_pruning_reach_scan(spark):
+    df = REGISTRY["pricing_summary"].fn(spark, SF_DIR)
+    pushed = "\n".join(inspect.pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate pushdown into parquet
+    schema = "\n".join(inspect.scan_columns(df))
+    assert "l_orderkey" not in schema  # column pruning: unused columns absent
+    assert "l_quantity" in schema
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ["region_revenue", "top_orders", "customer_360", "top_customer_per_nation"]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert inspect.has_broadcast_join(df), f"{name} should broadcast its dims"
+
+
+def test_no_python_in_hot_paths(spark):
+    for name in ["pricing_summary", "region_revenue", "clean_student_ids",
+                 "clean_cities", "minhash_lsh_pairs", "docs_simhash",
+                 "knn_bruteforce"]:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert not inspect.has_python_eval(df), f"{name} must stay JVM-side"
+
+
+def test_multimodal_is_the_only_python_path(spark):
+    df = REGISTRY["multimodal_features"].fn(spark, SF_DIR)
+    assert inspect.has_python_eval(df)  # by design: Arrow-batched mapInPandas
