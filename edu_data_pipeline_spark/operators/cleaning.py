@@ -114,6 +114,7 @@ def clean_students(
     master: DataFrame,
     ref_date: Column | None = None,
     batch_id: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Students raw -> staging.stg_students shape (cleaners.py:8-53).
 
@@ -181,6 +182,7 @@ def clean_students(
         quality.alias("quality_score"),
         notes.alias("cleaning_notes"),
         F.lit(batch_id).cast("string").alias("batch_id"),
+        *[F.col(c) for c in passthrough],
     )
     return mark_duplicates(cleaned, "student_id")
 
@@ -190,6 +192,7 @@ def clean_progress(
     ref_ts: Column | None = None,
     batch_id: str | None = None,
     mark_dupes: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Progress raw -> staging.stg_progress shape (cleaners.py:56-89).
 
@@ -220,6 +223,7 @@ def clean_progress(
         score.is_valid.alias("is_score_valid"),
         quality.alias("quality_score"),
         F.lit(batch_id).cast("string").alias("batch_id"),
+        *[F.col(c) for c in passthrough],
     )
     if not mark_dupes:
         return cleaned.withColumn("is_duplicate", F.lit(False))
@@ -230,6 +234,7 @@ def clean_tickets(
     df: DataFrame,
     ref_date: Column | None = None,
     batch_id: str | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tickets raw -> staging.stg_tickets shape (cleaners.py:92-112).
 
@@ -252,4 +257,5 @@ def clean_tickets(
         sid.is_valid.alias("is_student_valid"),
         quality.alias("quality_score"),
         F.lit(batch_id).cast("string").alias("batch_id"),
+        *[F.col(c) for c in passthrough],
     )

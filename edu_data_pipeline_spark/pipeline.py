@@ -1,0 +1,257 @@
+"""End-to-end batch pipeline: CSVs -> raw -> staging -> warehouse -> analytics.
+
+One SparkSession, one lazy job DAG per sink — the Spark-first collapse of
+the reference's three Airflow DAGs (E1 file_ingestion, E2 data_cleaning,
+E3 data_transformation; SURVEY §3). XCom hand-offs become DataFrame
+lineage; psycopg2 upserts become keyed merges.
+
+Reference quirks are replicated behind ``replicate_quirks`` (default True,
+matching observed reference output; see SURVEY §7 hard-parts):
+- E3 step 3 overwrites quality_score=100 / is_email_valid=True on the
+  dim layer (dags/data_transformation_pipeline.py:68-74).
+- derive_enrollment_status is called with has_recent_activity=True so the
+  effective status collapses to ACTIVE/PENDING (:42-45).
+- dim_courses forces is_active=True (:116-117).
+- The DAG-level AI stub sets ai_risk_score=42.0/'Medium' (:77-81).
+With ``replicate_quirks=False`` the engine keeps staging quality data,
+derives real statuses from activity, and uses the deterministic A9 risk
+scorer — the "fixed" behavior the SURVEY recommends exposing as well.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import dates, rules
+from .operators import analytics, cleaning, transform, warehouse
+from .sources import csv_ingest
+
+
+def _load_city_master(spark: SparkSession, path: str | None) -> DataFrame:
+    """City master from CSV column 0 (cleaning_rules.py:55-61), else the
+    default 10-city list."""
+    if path and os.path.exists(path):
+        raw = spark.read.csv(path)  # no header in reference master usage
+        cities = [r[0].strip() for r in raw.collect() if r[0] and r[0].strip()]
+        # drop a header row if present
+        if cities and cities[0].lower() in ("city", "city_name"):
+            cities = cities[1:]
+        return cleaning.city_master_df(spark, cities)
+    return cleaning.city_master_df(spark)
+
+
+def build_dim_students(
+    stg_students: DataFrame,
+    stg_progress: DataFrame,
+    ref_date: Column,
+    replicate_quirks: bool = True,
+) -> DataFrame:
+    """staging -> warehouse.dim_students (E3 steps 1-5)."""
+    now_ts = ref_date.cast("timestamp")
+    age = dates.derive_age(F.col("dob"), ref_date=ref_date)
+    enroll = dates.enrollment_fields("enrollment_date")
+    summary = transform.student_progress_summary(stg_progress, now=now_ts)
+    payment_std = rules.map_payment_status("payment_status")
+
+    dim = stg_students.join(summary, "student_id", "left")
+    days_since = F.datediff(ref_date, F.col("last_activity_date"))
+    if replicate_quirks:
+        # reference caller quirk: recent_activity=True, last_activity=now
+        status = dates.derive_enrollment_status(
+            payment_std, F.lit(True), now_ts, ref_ts=now_ts
+        )
+        quality = F.lit(100)
+        email_valid = F.lit(True)
+        risk_score, risk_cat = transform.constant_enrichment_stub()
+    else:
+        status = dates.derive_enrollment_status(
+            payment_std,
+            F.coalesce(days_since < 30, F.lit(False)),
+            F.col("last_activity_date").cast("timestamp"),
+            ref_ts=now_ts,
+        )
+        quality = F.col("quality_score")
+        email_valid = F.col("is_email_valid")
+        risk_score, risk_cat = transform.risk_score(
+            F.coalesce(days_since < 30, F.lit(False)),
+            F.col("avg_score").cast("double"),
+            payment_std,
+        )
+    dim = dim.select(
+        "student_id",
+        "first_name",
+        "last_name",
+        "full_name",
+        "email",
+        "phone",
+        "dob",
+        age.alias("age"),
+        dates.age_group(age).alias("age_group"),
+        "gender",
+        "city",
+        "state",
+        "enrollment_date",
+        enroll["enrollment_month"].alias("enrollment_month"),
+        enroll["enrollment_year"].alias("enrollment_year"),
+        enroll["enrollment_quarter"].alias("enrollment_quarter"),
+        "program_id",
+        "fee_paid",
+        payment_std.alias("payment_status"),
+        risk_score.cast("double").alias("ai_risk_score"),
+        risk_cat.alias("ai_risk_category"),
+        F.coalesce("total_courses_enrolled", F.lit(0)).alias("total_courses_enrolled"),
+        F.coalesce(F.col("total_time_spent_hours"), F.lit(0.0)).cast(
+            "decimal(10,2)"
+        ).alias("total_time_spent_hours"),
+        F.col("avg_score").cast("decimal(5,2)").alias("avg_score"),
+        "last_activity_date",
+        days_since.alias("days_since_last_activity"),
+        status.alias("enrollment_status"),
+        quality.alias("quality_score"),
+        email_valid.alias("is_email_valid"),
+    )
+    return warehouse.with_surrogate_key(dim, "student_id", "student_sk")
+
+
+def build_dim_courses(raw_courses: DataFrame, replicate_quirks: bool = True) -> DataFrame:
+    """raw.course_catalog -> dim_courses (E3 step 5; is_active forced True)."""
+    is_active = (
+        F.lit(True)
+        if replicate_quirks
+        else F.lower(F.coalesce(F.col("is_active"), F.lit("true"))) == "true"
+    )
+    dim = raw_courses.select(
+        F.col("course_id").cast("string"),
+        F.col("course_name").cast("string"),
+        F.col("category").cast("string"),
+        F.col("difficulty").cast("string"),
+        F.col("duration_hours").cast("int"),
+        F.col("price").cast("decimal(15,2)"),
+        F.col("instructor_name").cast("string"),
+        is_active.alias("is_active"),
+    )
+    return warehouse.with_surrogate_key(dim, "course_id", "course_sk")
+
+
+def run_batch_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse_dir: str,
+    ref_date: str = "2026-08-13",
+    batch_id: str = "batch-1",
+    city_master_path: str | None = None,
+    replicate_quirks: bool = True,
+) -> dict[str, int]:
+    """Full E1+E2+E3 run. Returns per-table row counts (the BASELINE.md
+    golden numbers for a single clean run)."""
+    ref = F.lit(ref_date).cast("date")
+    ref_ts = F.lit(f"{ref_date} 00:00:00").cast("timestamp")
+    counts: dict[str, int] = {}
+
+    # ---- E1: ingest + raw layer -----------------------------------------
+    paths = {os.path.basename(p).removesuffix(".csv"): p
+             for p in csv_ingest.detect_new_files(input_dir)}
+    raw: dict[str, DataFrame] = {}
+    for name, path in paths.items():
+        df = csv_ingest.read_raw_csv(spark, path, csv_ingest.REQUIRED_COLUMNS[name])
+        staged = csv_ingest.with_lineage(df, batch_id=batch_id)
+        csv_ingest.append_raw(staged, os.path.join(warehouse_dir, "raw", name))
+        raw[name] = spark.read.parquet(os.path.join(warehouse_dir, "raw", name))
+        counts[f"raw.{name}"] = raw[name].count()
+
+    # ---- E2: staging ----------------------------------------------------
+    master = _load_city_master(spark, city_master_path)
+    lineage = ("file_row_number",)
+    stg_students = cleaning.dedup_last_wins(
+        cleaning.clean_students(
+            raw["students_enrollment"], master, ref_date=ref, batch_id=batch_id,
+            passthrough=lineage,
+        ),
+        "student_id",
+        "file_row_number",
+    )
+    stg_progress = cleaning.dedup_last_wins(
+        cleaning.clean_progress(
+            raw["student_progress"], ref_ts=ref_ts, batch_id=batch_id,
+            passthrough=lineage,
+        ),
+        "event_id",
+        "file_row_number",
+    )
+    stg_tickets = cleaning.dedup_last_wins(
+        cleaning.clean_tickets(
+            raw["support_tickets"], ref_date=ref, batch_id=batch_id,
+            passthrough=lineage,
+        ),
+        "ticket_id",
+        "file_row_number",
+    )
+
+    writers = {
+        "stg_students": (stg_students, ["student_id"]),
+        "stg_progress": (stg_progress, ["event_id"]),
+        "stg_tickets": (stg_tickets, ["ticket_id"]),
+    }
+    staged: dict[str, DataFrame] = {}
+    for name, (df, keys) in writers.items():
+        w = warehouse.ParquetMergeWriter(
+            spark, os.path.join(warehouse_dir, "staging", name), keys=keys
+        )
+        counts[f"staging.{name}"] = w.merge(df.drop("file_row_number"))
+        staged[name] = w.read()
+
+    # ---- E3: warehouse --------------------------------------------------
+    dim_date = warehouse.build_dim_date(spark)
+    dim_students = build_dim_students(
+        staged["stg_students"], staged["stg_progress"], ref, replicate_quirks
+    )
+    dim_courses = build_dim_courses(raw["course_catalog"], replicate_quirks)
+    fact_progress = warehouse.build_fact_progress(
+        staged["stg_progress"], dim_students, dim_courses
+    )
+    sentiment, sent_score, sent_cat = transform.ticket_sentiment(
+        F.col("subject"), F.col("description")
+    )
+    fact_tickets = warehouse.build_fact_tickets(
+        staged["stg_tickets"].withColumn("ai_sentiment", sentiment)
+        .withColumn("ai_sentiment_score", sent_score.cast("decimal(5,4)"))
+        .withColumn("ai_category_suggestion", sent_cat),
+        dim_students,
+    ).withColumn("ai_sentiment", sentiment)
+    fact_enrollments = warehouse.build_fact_enrollments(
+        staged["stg_students"], dim_students
+    )
+
+    for name, df, keys in [
+        ("dim_date", dim_date, ["date_key"]),
+        ("dim_students", dim_students, ["student_id"]),
+        ("dim_courses", dim_courses, ["course_id"]),
+        ("fact_student_progress", fact_progress, ["event_id"]),
+        ("fact_support_tickets", fact_tickets, ["ticket_id"]),
+        ("fact_enrollments", fact_enrollments, ["student_sk", "course_sk"]),
+    ]:
+        w = warehouse.ParquetMergeWriter(
+            spark, os.path.join(warehouse_dir, "warehouse", name), keys=keys
+        )
+        counts[f"warehouse.{name}"] = w.merge(df)
+
+    # ---- analytics ------------------------------------------------------
+    wh = lambda n: spark.read.parquet(os.path.join(warehouse_dir, "warehouse", n))
+    v360 = analytics.v_student_360(wh("dim_students"), wh("fact_support_tickets"))
+    insights = analytics.v_ai_insights(wh("dim_students"), wh("fact_support_tickets"))
+    daily = analytics.fact_daily_metrics(
+        wh("fact_student_progress"), wh("fact_enrollments"), wh("fact_support_tickets")
+    )
+    for name, df in [
+        ("v_student_360", v360),
+        ("v_ai_insights", insights),
+        ("fact_daily_metrics", daily),
+    ]:
+        df.write.mode("overwrite").parquet(os.path.join(warehouse_dir, "analytics", name))
+        counts[f"analytics.{name}"] = spark.read.parquet(
+            os.path.join(warehouse_dir, "analytics", name)
+        ).count()
+    return counts
