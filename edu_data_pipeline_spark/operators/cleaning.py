@@ -259,3 +259,66 @@ def clean_tickets(
         F.lit(batch_id).cast("string").alias("batch_id"),
         *[F.col(c) for c in passthrough],
     )
+
+
+# Notes that mean the rule judged the value valid (format-provenance notes
+# like '%Y-%m-%d' and 'fuzzy-0.83' are valid matches).
+_VALID_NOTES = ("standardized", "valid", "mapped", "matched", "normalized",
+                "normalized-10", "normalized-12", "parsed")
+
+
+def quality_log(cleaned: DataFrame, source_table: str, id_col: str) -> DataFrame:
+    """Populate staging.stg_quality_log from the per-rule cleaning notes.
+
+    The reference DECLARES this audit table (init_schema.sql:215-226) but
+    nothing ever writes it (BASELINE.md row count 0); SURVEY §7 flags
+    populating it from rule notes as the rebuild's job. One row per
+    (record, rule) with validity + the rule's note as the error message.
+    """
+    notes_map = F.from_json(F.col("cleaning_notes"), "map<string,string>")
+    exploded = cleaned.select(
+        F.lit(source_table).alias("source_table"),
+        F.col(id_col).alias("record_id"),
+        F.col("batch_id"),
+        F.explode(notes_map).alias("rule_applied", "note"),
+    )
+    is_valid = (
+        F.col("note").isin(*_VALID_NOTES)
+        | F.col("note").startswith("fuzzy-")
+        | F.col("note").startswith("%")
+    )
+    return exploded.select(
+        "source_table",
+        "record_id",
+        "rule_applied",
+        is_valid.alias("is_valid"),
+        F.when(~is_valid, F.col("note")).alias("error_message"),
+        "batch_id",
+    )
+
+
+def fuzzy_duplicates(
+    stg_students: DataFrame,
+    email_col: str = "email",
+    name_col: str = "full_name",
+    phone_col: str = "phone",
+) -> DataFrame:
+    """Docx Rule 10 fuzzy duplicates: same email OR same name+phone.
+
+    Spec'd in the reference's assignment doc but NOT implemented in its
+    code (SURVEY §2.3) — built here as window counts over the two
+    candidate keys (no self-join; one shuffle per key, NULL keys exempt).
+    """
+    w_email = Window.partitionBy(email_col)
+    w_np = Window.partitionBy(name_col, phone_col)
+    email_dup = (
+        F.col(email_col).isNotNull() & (F.count(email_col).over(w_email) > 1)
+    )
+    np_dup = (
+        F.col(name_col).isNotNull()
+        & F.col(phone_col).isNotNull()
+        & (F.count(F.lit(1)).over(w_np) > 1)
+    )
+    return stg_students.withColumn("is_email_dup", email_dup).withColumn(
+        "is_name_phone_dup", np_dup
+    ).withColumn("is_fuzzy_duplicate", email_dup | np_dup)

@@ -633,3 +633,171 @@ def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# D3 — duplicate-rate gauge
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT count(*) OVER (PARTITION BY user_id, event_type) > 1 AS is_dup
+      FROM events
+    )
+    SELECT round(avg(is_dup::INT), 6) AS duplicate_rate,
+           CAST(sum(is_dup::INT) AS BIGINT) AS duplicate_count,
+           count(*) AS total_records
+    FROM flagged
+    """,
+)
+def duplicate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type")
+    flagged = e.select((F.count("*").over(w) > 1).alias("is_dup"))
+    return flagged.agg(
+        F.round(F.avg(F.col("is_dup").cast("int")), 6).alias("duplicate_rate"),
+        F.sum(F.col("is_dup").cast("int")).cast("long").alias("duplicate_count"),
+        F.count(F.lit(1)).alias("total_records"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — referential orphan checks (anti-joins over FK relationships)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "referential_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS relationship, count(*) AS n_orphans
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', count(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*)
+    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'customer->nation', count(*)
+    FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    n = table(spark, sf_dir, "nation")
+
+    def orphans(child, parent, cond, label):
+        return child.join(parent, cond, "left_anti").agg(
+            F.lit(label).alias("relationship"), F.count(F.lit(1)).alias("n_orphans")
+        )
+
+    return (
+        orphans(o, c, o.o_custkey == c.c_custkey, "orders->customer")
+        .unionByName(orphans(l, o, l.l_orderkey == o.o_orderkey, "lineitem->orders"))
+        .unionByName(orphans(l, p, l.l_partkey == p.p_partkey, "lineitem->part"))
+        .unionByName(orphans(c, n, c.c_nationkey == n.n_nationkey, "customer->nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 derivations — age / age-group / enrollment quarter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "age_groups",
+    oracle="""
+    WITH derived AS (
+      SELECT c_custkey,
+             DATE '1970-01-01' + INTERVAL ((c_custkey * 37) % 20000) DAY AS dob
+      FROM customer
+    ), aged AS (
+      SELECT c_custkey, CAST(dob AS DATE) AS dob,
+             greatest(
+               year(DATE '2026-08-13') - year(dob)
+               - CASE WHEN month(DATE '2026-08-13') < month(dob)
+                       OR (month(DATE '2026-08-13') = month(dob)
+                           AND day(DATE '2026-08-13') < day(dob))
+                      THEN 1 ELSE 0 END, 0) AS age,
+             quarter(dob) AS dob_quarter
+      FROM derived
+    )
+    SELECT CASE WHEN age <= 22 THEN '18-22' WHEN age <= 27 THEN '23-27'
+                WHEN age <= 35 THEN '28-35' ELSE '35+' END AS age_group,
+           dob_quarter,
+           count(*) AS n,
+           min(age) AS min_age,
+           max(age) AS max_age
+    FROM aged
+    GROUP BY 1, 2
+    """,
+)
+def age_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dates
+
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dob = F.date_add(F.lit("1970-01-01").cast("date"), ((k * 37) % 20000).cast("int"))
+    ref = F.lit(REF_DATE).cast("date")
+    derived = c.select("c_custkey", dob.alias("dob"))
+    age = dates.derive_age(F.col("dob"), ref_date=ref)
+    aged = derived.select(
+        "c_custkey",
+        age.alias("age"),
+        dates.age_group(age).alias("age_group"),
+        F.quarter("dob").alias("dob_quarter"),
+    )
+    return aged.groupBy("age_group", "dob_quarter").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("age").alias("min_age"),
+        F.max("age").alias("max_age"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Docx Rule 10 stretch — fuzzy duplicates (same email OR same name+phone)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_duplicate_flags",
+    oracle="""
+    WITH derived AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL
+                  ELSE 'user' || CAST(c_custkey % 700 AS VARCHAR) || '@example.com' END AS email,
+             'Name ' || CAST(c_custkey % 500 AS VARCHAR) AS full_name,
+             CAST(9000000000 + c_custkey % 900 AS VARCHAR) AS phone
+      FROM customer
+    )
+    SELECT c_custkey,
+           (email IS NOT NULL AND count(email) OVER (PARTITION BY email) > 1) AS is_email_dup,
+           (count(*) OVER (PARTITION BY full_name, phone) > 1) AS is_name_phone_dup,
+           ((email IS NOT NULL AND count(email) OVER (PARTITION BY email) > 1)
+            OR count(*) OVER (PARTITION BY full_name, phone) > 1) AS is_fuzzy_duplicate
+    FROM derived
+    """,
+)
+def fuzzy_duplicate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    derived = c.select(
+        "c_custkey",
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("user"), (k % 700).cast("string"), F.lit("@example.com")))
+        .alias("email"),
+        F.concat(F.lit("Name "), (k % 500).cast("string")).alias("full_name"),
+        (F.lit(9000000000) + k % 900).cast("long").cast("string").alias("phone"),
+    )
+    flagged = cleaning.fuzzy_duplicates(derived)
+    return flagged.select(
+        "c_custkey", "is_email_dup", "is_name_phone_dup", "is_fuzzy_duplicate"
+    )

@@ -618,3 +618,76 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_mass"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+           round(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) * 1.0
+                 / greatest(len(string_split(trim(text), ' ')), 1), 4) AS tokens_per_word
+    FROM documents
+    """,
+)
+def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), " "))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe * 1.0 / F.greatest(ws, F.lit(1)), 4).alias("tokens_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: probe only the nearest label partition (the scale path)
+# ---------------------------------------------------------------------------
+
+
+@register("knn_ivf", oracle=None)  # rows-only: float centroid averaging
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN: centroids = per-label mean vectors (labels stand in
+    for learned IVF cells), the query probes its nearest centroid's
+    partition only — searching ~1/n_labels of the corpus. Brute-force
+    (knn_bruteforce) is the recall baseline next to this.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "x"))
+    centroids = (
+        pos.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+    )
+    q = F.broadcast(e.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv")))
+    probe = (
+        centroids.crossJoin(q)
+        .select("label", _cosine(F.col("centroid"), F.col("qv")).alias("cos"))
+        .orderBy(F.desc("cos"))
+        .limit(1)
+        .select(F.col("label").alias("probe_label"))
+    )
+    candidates = e.join(F.broadcast(probe), e.label == F.col("probe_label"))
+    scored = (
+        candidates.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", _cosine(F.col("emb"), F.col("qv")).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,136 @@
+"""Enrichment fallback, observe() metrics, quality log, fuzzy duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.operators import cleaning, enrich, metrics
+
+
+def students(spark):
+    return spark.createDataFrame(
+        [
+            ("STU001", True, 80.0, "completed"),
+            ("STU002", False, 10.0, "pending"),
+        ],
+        "student_id string, recent boolean, completion double, payment string",
+    )
+
+
+def test_enrich_native(spark):
+    out = enrich.enrich_students_native(
+        students(spark), F.col("recent"), F.col("completion"), F.col("payment")
+    )
+    rows = {r.student_id: r for r in out.collect()}
+    assert rows["STU001"].ai_risk_score == 0.0
+    assert rows["STU002"].ai_risk_score == 60.0
+    assert rows["STU002"].ai_risk_category == "High"
+
+
+def test_enrich_external_success_and_fallback(spark):
+    df = students(spark)
+
+    def good_fn(pdf):
+        pdf["ai_risk_score"] = pdf["completion"] * 2
+        pdf["ai_risk_category"] = "External"
+        return pdf
+
+    out = {r.student_id: r for r in enrich.enrich_students_external(df, good_fn).collect()}
+    assert out["STU001"].ai_risk_score == 160.0
+    assert out["STU001"].ai_risk_category == "External"
+
+    def bad_fn(pdf):
+        raise RuntimeError("endpoint down")
+
+    fb = {r.student_id: r for r in enrich.enrich_students_external(df, bad_fn).collect()}
+    # per-batch degrade to the reference's constant stub values
+    assert fb["STU001"].ai_risk_score == 42.0
+    assert fb["STU001"].ai_risk_category == "Medium"
+
+
+def test_observe_cleaning_metrics(spark):
+    df = spark.createDataFrame(
+        [(100, False), (80, True), (90, False), (100, True)],
+        "quality_score int, is_duplicate boolean",
+    )
+    obs = metrics.observe_cleaning(df)
+    obs.df.write.format("noop").mode("overwrite").save()  # action triggers metrics
+    m = obs.metrics
+    assert m["records_total"] == 4
+    assert m["records_flagged"] == 2
+    assert m["avg_quality_score"] == 92.5
+    assert m["duplicate_rate"] == 0.5
+
+
+def test_quality_log_population(spark):
+    raw = spark.createDataFrame(
+        [("STU001", "JOHN DOE", "bad@email", "123", "1999-05-15", "Male",
+          "Mumbai", "MH", "2024-01-15", "P1", "100", "paid")],
+        "student_id string, full_name string, email string, phone string, dob string, "
+        "gender string, city string, state string, enrollment_date string, "
+        "program_id string, fee_paid string, payment_status string",
+    )
+    master = cleaning.city_master_df(spark)
+    stg = cleaning.clean_students(raw, master,
+                                  ref_date=F.lit("2026-08-13").cast("date"),
+                                  batch_id="b1")
+    log = cleaning.quality_log(stg, "stg_students", "student_id")
+    rows = {r.rule_applied: r for r in log.collect()}
+    assert len(rows) == 10  # one row per rule
+    assert rows["email"].is_valid is False
+    assert rows["email"].error_message == "invalid-format"
+    assert rows["phone"].is_valid is False
+    assert rows["student_id"].is_valid is True
+    assert rows["student_id"].error_message is None
+    assert rows["dob"].is_valid is True  # note is the matched format string
+    assert rows["city"].is_valid is True
+
+
+def test_fuzzy_duplicates(spark):
+    df = spark.createDataFrame(
+        [
+            ("A", "a@x.com", "John Doe", "+91-1"),
+            ("B", "a@x.com", "Jane Roe", "+91-2"),  # same email as A
+            ("C", None, "Sam Poe", "+91-3"),
+            ("D", "d@x.com", "Sam Poe", "+91-3"),  # same name+phone as C
+            ("E", None, "Solo Person", "+91-5"),
+        ],
+        "student_id string, email string, full_name string, phone string",
+    )
+    out = {r.student_id: r for r in cleaning.fuzzy_duplicates(df).collect()}
+    assert out["A"].is_email_dup and out["B"].is_email_dup
+    assert out["C"].is_name_phone_dup and out["D"].is_name_phone_dup
+    assert not out["C"].is_email_dup  # NULL emails never match each other
+    assert out["E"].is_fuzzy_duplicate is False
+
+
+def test_streaming_listener(spark, tmp_path):
+    import json, os
+    from edu_data_pipeline_spark.streaming import jobs
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_id": f"e{i}", "student_id": "STU001",
+                                "course_id": "C1", "event_type": "x",
+                                "event_timestamp": "2024-02-01T10:00:00",
+                                "duration_seconds": "1", "score": "50",
+                                "module_id": "M", "completion_percentage": "10"}) + "\n")
+    listener = metrics.BatchProgressListener()
+    listener.attach(spark)
+    try:
+        stream = jobs.read_event_stream_json(spark, src)
+        q = (stream.writeStream.format("memory").queryName("mx").outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        spark.streams.resetTerminated()
+        import time
+
+        for _ in range(40):  # listener bus delivers asynchronously
+            if listener.total_rows >= 5:
+                break
+            time.sleep(0.25)
+        assert listener.total_rows >= 5
+    finally:
+        listener.detach(spark)
