@@ -37,3 +37,35 @@ def test_no_python_in_hot_paths(spark):
 def test_multimodal_is_the_only_python_path(spark):
     df = REGISTRY["multimodal_features"].fn(spark, SF_DIR)
     assert inspect.has_python_eval(df)  # by design: Arrow-batched mapInPandas
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing co-locates join keys: the bucketed-table join plan must
+    contain no shuffle exchange (the SCALE.md co-location strategy)."""
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    loc = str(tmp_path)
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 100).alias("o_custkey")
+    )
+    customer = spark.range(0, 100).select(F.col("id").alias("c_custkey"))
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", loc + "/b_orders").saveAsTable("b_orders"))
+    (customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", loc + "/b_customer").saveAsTable("b_customer"))
+    joined = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    # disable broadcast so the co-located SMJ path is what's being tested
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = inspect.formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

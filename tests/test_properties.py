@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis): cleaning idempotence + invariants.
+
+SURVEY §5 rebuild plan item (4): cleaning a cleaned value is a no-op, and
+quality scores stay in [0, 100]. Strings are generated adversarially;
+each property runs one Spark job over the whole generated batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.functions import rules
+
+SETTLE = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+    max_size=40,
+)
+
+
+def run_rule(spark, rule_fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    out = rule_fn(F.col("raw"))
+    return [
+        (r.value, r.is_valid)
+        for r in df.select(out.value.alias("value"), out.is_valid.alias("is_valid")).collect()
+    ]
+
+
+@SETTLE
+@given(st.lists(text, min_size=1, max_size=25))
+def test_student_id_idempotent(spark, values):
+    first = run_rule(spark, rules.standardize_student_id, values)
+    cleaned_values = [v for v, ok in first if ok]
+    if cleaned_values:
+        second = run_rule(spark, rules.standardize_student_id, cleaned_values)
+        assert [v for v, _ in second] == cleaned_values  # clean(clean(x)) == clean(x)
+        assert all(ok for _, ok in second)
+
+
+@SETTLE
+@given(st.lists(text, min_size=1, max_size=25))
+def test_gender_idempotent_and_closed(spark, values):
+    first = run_rule(spark, rules.standardize_gender, values)
+    outputs = [v for v, _ in first]
+    assert set(outputs) <= {"Male", "Female", "Other"}
+    second = run_rule(spark, rules.standardize_gender, outputs)
+    assert [v for v, _ in second] == outputs
+
+
+@SETTLE
+@given(st.lists(st.one_of(text, st.from_regex(r"[0-9+\- ]{0,15}", fullmatch=True)),
+                min_size=1, max_size=25))
+def test_phone_idempotent(spark, values):
+    first = run_rule(spark, rules.standardize_phone, values)
+    cleaned = [v for v, ok in first if ok]
+    if cleaned:
+        second = run_rule(spark, rules.standardize_phone, cleaned)
+        # "+91-XXXXXXXXXX" re-cleans to itself via the 12-digit branch
+        assert [v for v, _ in second] == cleaned
+
+
+@SETTLE
+@given(st.lists(text, min_size=1, max_size=25))
+def test_email_idempotent(spark, values):
+    first = run_rule(spark, rules.validate_email, values)
+    cleaned = [v for v, ok in first if ok]
+    if cleaned:
+        second = run_rule(spark, rules.validate_email, cleaned)
+        assert [v for v, _ in second] == cleaned
+        assert all(ok for _, ok in second)
+
+
+@SETTLE
+@given(st.lists(st.booleans(), min_size=1, max_size=15))
+def test_quality_score_bounds(spark, flags):
+    cols = [F.lit(b) for b in flags]
+    row = spark.range(1).select(rules.quality_score(*cols).alias("q")).collect()[0]
+    assert 0 <= row.q <= 100
+    assert row.q == max(0, 100 - 10 * sum(1 for b in flags if not b))
+
+
+@SETTLE
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=25))
+def test_score_validation_bounds(spark, numbers):
+    values = [repr(x) for x in numbers]
+    got = run_rule(spark, rules.validate_score, values)
+    for v, _ in got:
+        if v is not None:
+            assert 0.0 <= v <= 100.0

@@ -134,3 +134,33 @@ def test_simulated_stream_shape(spark):
     stream = jobs.simulated_event_stream(spark, rows_per_second=5)
     assert stream.isStreaming
     assert set(jobs.PROGRESS_EVENT_SCHEMA.fieldNames()) <= set(stream.columns)
+
+
+def test_count_bounded_stateful_metrics(spark, tmp_path):
+    src = str(tmp_path / "events_state")
+    write_events(src, EVENTS_BATCH_1, "b1.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    metrics = jobs.count_bounded_metrics(cleaned, max_events=1000)
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch updates existing state
+    write_events(src, EVENTS_BATCH_2, "b2.json")
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM state_sink").collect()
+    latest = {}
+    for r in rows:  # update mode: last emit per student wins
+        latest[r.student_id] = r
+    s1 = latest["STU001"]
+    # batch1: evt-001 (valid) + evt-003 (invalid); batch2: evt-001b valid
+    assert s1["count"] == 3
+    assert s1.errors == 1
+    assert bool(s1.anomaly) is True  # 1/3 > 0.2
+    s2 = latest["STU002"]
+    assert (s2["count"], s2.errors) == (1, 1)
