@@ -165,18 +165,32 @@ def _parse_two_digit_year(trimmed: Column) -> Column:
     return F.when(F.year(parsed) >= 2069, F.add_months(parsed, -1200)).otherwise(parsed)
 
 
+# Cheap shape pre-checks per format: skip the expensive DateTimeFormatter
+# attempt unless the string can possibly match. These mirror strptime's
+# token widths exactly (%Y = 4 digits, %m/%d = 1-2, %B = alpha month), so
+# they also CLOSE divergences — e.g. Spark's to_date would accept a
+# 2-digit year for yyyy where Python's %Y (exactly 4 digits) refuses.
+DATE_GUARDS = [
+    ("^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}$", "yyyy-M-d"),
+    ("^[0-9]{1,2}/[0-9]{1,2}/[0-9]{4}$", "d/M/yyyy"),
+    ("^[0-9]{1,2}-[0-9]{1,2}-[0-9]{4}$", "d-M-yyyy"),
+    ("^[A-Za-z]+ [0-9]{1,2}, [0-9]{4}$", "MMMM d, yyyy"),
+    ("^[0-9]{1,2}-[A-Za-z]{3}-[0-9]{2}$", "d-MMM-yy"),
+]
+
+
 def parse_date(col: Column | str, ref_date: Column | None = None) -> RuleColumns:
     """First-match-wins over the 5 reference formats; bounds [1950, today]."""
     raw = _s(col)
     trimmed = F.trim(raw)
     today = ref_date if ref_date is not None else F.current_date()
-    candidates = [
-        F.to_date(trimmed, "yyyy-M-d"),
-        F.to_date(trimmed, "d/M/yyyy"),
-        F.to_date(trimmed, "d-M-yyyy"),
-        F.to_date(trimmed, "MMMM d, yyyy"),
-        _parse_two_digit_year(trimmed),
-    ]
+
+    def guarded(guard: str, fmt: str) -> Column:
+        if fmt == "d-MMM-yy":
+            return F.when(trimmed.rlike(guard), _parse_two_digit_year(trimmed))
+        return F.when(trimmed.rlike(guard), F.to_date(trimmed, fmt))
+
+    candidates = [guarded(g, fmt) for g, fmt in DATE_GUARDS]
     parsed = F.coalesce(*candidates)
     in_bounds = (F.year(parsed) >= 1950) & (parsed <= today)
     is_valid = raw.isNotNull() & parsed.isNotNull() & in_bounds
@@ -220,8 +234,15 @@ def parse_date_time(col: Column | str, ref_ts: Column | None = None) -> RuleColu
     raw = _s(col)
     trimmed = F.trim(raw)
     now = ref_ts if ref_ts is not None else F.current_timestamp()
+    guards = [
+        "^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}T[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$",
+        "^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2} [0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$",
+        "^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}T[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}(Z|[+-][0-9]{2}:[0-9]{2})$",
+        "^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}T[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}[+-][0-9]{4}$",
+    ]
     candidates = [
-        F.to_timestamp(trimmed, fmt) for fmt, _ in DATETIME_FORMATS_SPARK
+        F.when(trimmed.rlike(guard), F.to_timestamp(trimmed, fmt))
+        for guard, (fmt, _) in zip(guards, DATETIME_FORMATS_SPARK)
     ]
     parsed = F.coalesce(*candidates)
     is_valid = raw.isNotNull() & parsed.isNotNull() & (parsed <= now)
