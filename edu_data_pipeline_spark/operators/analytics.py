@@ -128,4 +128,8 @@ def fact_daily_metrics(
                 "new_tickets", "resolved_tickets", "negative_sentiment_count",
             ],
         )
+        # the reference schema declares students_at_risk but nothing in the
+        # reference computes it; populated by a dim join in callers that
+        # have risk scores, defaulted here
+        .withColumn("students_at_risk", F.lit(0))
     )

@@ -20,6 +20,7 @@ scorer — the "fixed" behavior the SURVEY recommends exposing as well.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -245,13 +246,51 @@ def run_batch_pipeline(
     daily = analytics.fact_daily_metrics(
         wh("fact_student_progress"), wh("fact_enrollments"), wh("fact_support_tickets")
     )
+    course_perf = analytics.v_course_performance(
+        wh("dim_courses"), wh("fact_enrollments")
+    )
+    dashboard = analytics.v_daily_dashboard(daily, wh("dim_date"))
     for name, df in [
         ("v_student_360", v360),
         ("v_ai_insights", insights),
         ("fact_daily_metrics", daily),
+        ("v_course_performance", course_perf),
+        ("v_daily_dashboard", dashboard),
     ]:
         df.write.mode("overwrite").parquet(os.path.join(warehouse_dir, "analytics", name))
         counts[f"analytics.{name}"] = spark.read.parquet(
             os.path.join(warehouse_dir, "analytics", name)
         ).count()
+
+    # ---- metadata layer (init_schema.sql metadata.* tables) -------------
+    # pipeline_runs: one row per run (run_id uuid, status, per-table counts)
+    # data_quality_summary: per-rule valid/invalid stats from the audit log
+    run_row = spark.createDataFrame(
+        [(batch_id, "SUCCESS", json.dumps(counts))],
+        "run_id string, status string, table_counts string",
+    ).withColumn("finished_at", F.current_timestamp())
+    run_row.write.mode("append").parquet(
+        os.path.join(warehouse_dir, "metadata", "pipeline_runs")
+    )
+    quality_rows = cleaning.quality_log(
+        spark.read.parquet(os.path.join(warehouse_dir, "staging", "stg_students")),
+        "stg_students",
+        "student_id",
+    )
+    rule_stats = quality_rows.groupBy("source_table", "rule_applied").agg(
+        F.count(F.when(F.col("is_valid"), 1)).alias("n_valid"),
+        F.count(F.when(~F.col("is_valid"), 1)).alias("n_invalid"),
+    )
+    rule_stats.write.mode("overwrite").parquet(
+        os.path.join(warehouse_dir, "metadata", "data_quality_summary")
+    )
+    quality_rows.write.mode("overwrite").parquet(
+        os.path.join(warehouse_dir, "staging", "stg_quality_log")
+    )
+    counts["staging.stg_quality_log"] = spark.read.parquet(
+        os.path.join(warehouse_dir, "staging", "stg_quality_log")
+    ).count()
+    counts["metadata.pipeline_runs"] = spark.read.parquet(
+        os.path.join(warehouse_dir, "metadata", "pipeline_runs")
+    ).count()
     return counts

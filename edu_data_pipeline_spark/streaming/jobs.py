@@ -97,7 +97,13 @@ def clean_event_stream(events: DataFrame, ref_ts: Column | None = None) -> DataF
     SURVEY §2.8 calls out. ``is_valid`` mirrors the reference's per-event
     flag (score parse failure -> invalid, kafka/streaming.py:119-127).
     """
-    cleaned = clean_progress(events, ref_ts=ref_ts, mark_dupes=False)
+    # default missing event ids like the reference's streaming writer
+    # (event_id or f"stream-{uuid4()}" — kafka/streaming.py:176)
+    with_ids = events.withColumn(
+        "event_id",
+        F.coalesce(F.col("event_id"), F.concat(F.lit("stream-"), F.expr("uuid()"))),
+    )
+    cleaned = clean_progress(with_ids, ref_ts=ref_ts, mark_dupes=False)
     return cleaned.withColumn(
         "is_valid",
         F.col("is_score_valid") & F.col("is_timestamp_valid") & F.col("is_student_valid"),

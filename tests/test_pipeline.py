@@ -110,6 +110,9 @@ def test_golden_row_counts(counts):
     assert counts["warehouse.fact_enrollments"] == 30
     assert counts["analytics.v_student_360"] == 30
     assert counts["analytics.v_ai_insights"] == 3
+    assert counts["analytics.v_course_performance"] == 10
+    assert counts["staging.stg_quality_log"] == 300  # 30 records x 10 rules
+    assert counts["metadata.pipeline_runs"] == 1
 
 
 def test_idempotent_rerun(spark, tmp_path):
