@@ -38,6 +38,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "docs_simhash",
     "knn_bruteforce",
+    # windows / sessionization / grouping sets
+    "user_sessions",
+    "revenue_rollup",
 ]
 
 

@@ -684,3 +684,60 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, _EVENT_TYPES)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join (EXISTS; TPC-H Q4 shape): orders with any late lineitem
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.timestamp_add("DAY", F.lit(60), o.o_orderdate)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting with exclusion filters (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_size_counts",
+    oracle="""
+    SELECT p_brand, p_type, count(DISTINCT p_size) AS n_sizes,
+           count(*) AS n_parts
+    FROM part
+    WHERE p_brand != 'Brand#1' AND p_type NOT LIKE 'small%'
+    GROUP BY p_brand, p_type
+    """,
+)
+def brand_size_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.where((F.col("p_brand") != "Brand#1") & ~F.col("p_type").like("small%"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count_distinct("p_size").alias("n_sizes"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
