@@ -741,3 +741,81 @@ def brand_size_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the user's most recent PRIOR click.
+# Scale formulation: union the two streams and take a running last-value
+# window — O(n log n) with one shuffle on (user, time), no range-join
+# explosion. The same SQL runs on DuckDB (safer than dialect ASOF JOIN).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+             event_type
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), attributed AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(click_ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_event_id, ts AS purchase_ts,
+           last_click_ts,
+           CASE WHEN last_click_ts IS NOT NULL
+                THEN date_diff('second', last_click_ts, ts) END AS seconds_since_click
+    FROM attributed
+    WHERE event_type = 'purchase'
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return attributed.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+        F.when(
+            F.col("last_click_ts").isNotNull(),
+            F.col("ts").cast("long") - F.col("last_click_ts").cast("long"),
+        ).alias("seconds_since_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: HLL distinct + approximate quantiles (rows-only: sketch
+# implementations differ across engines; accuracy is locked by pytest
+# against exact values)
+# ---------------------------------------------------------------------------
+
+
+@register("approx_user_stats", oracle=None)  # rows-only: engine-specific sketches
+def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+    )

@@ -69,3 +69,22 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """date_key-partitioned warehouse layout: a single-day query must scan
+    only that partition (PartitionFilters in the scan, SCALE.md)."""
+    import pyspark.sql.functions as F
+    from edu_data_pipeline_spark.sources.testdata import table as t
+
+    path = str(tmp_path / "events_by_day")
+    e = t(spark, SF_DIR, "events").withColumn(
+        "date_key", (F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")).cast("int")
+    )
+    e.write.partitionBy("date_key").mode("overwrite").parquet(path)
+    one_day = spark.read.parquet(path).where(F.col("date_key") == 20240105)
+    plan = inspect.formatted_plan(one_day)
+    assert "PartitionFilters" in plan
+    assert "20240105" in plan  # the filter reached partition pruning
+    n_total = spark.read.parquet(path).count()
+    assert 0 < one_day.count() < n_total

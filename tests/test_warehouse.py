@@ -184,3 +184,15 @@ def test_progress_and_course_summaries(spark):
     assert courses["CRS001"].avg_completion_rate == 100.0
     assert courses["CRS001"].avg_score == 75.0
     assert courses[None].avg_completion_rate == 0.0  # null completion -> 0
+
+
+def test_approx_sketches_accuracy(spark):
+    """HLL distinct within 5% of exact; approx median within p40-p60 band."""
+    from edu_data_pipeline_spark.suite.analytics_suite import approx_user_stats
+
+    rows = approx_user_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+        assert len(r.approx_p50_p90) == 2
+        assert r.approx_p50_p90[0] <= r.approx_p50_p90[1]
