@@ -142,3 +142,35 @@ def append_raw(df: DataFrame, path: str) -> None:
     """S4 raw append sink: append-only parquet raw layer (the reference's
     INSERT-only raw tables, db.py:32-42)."""
     df.write.mode("append").parquet(path)
+
+
+def read_with_corrupt_routing(
+    spark: SparkSession,
+    path: str,
+    required_columns: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read with malformed rows routed to a DLQ frame.
+
+    The reference drops records whose cleaning function raises and counts
+    them (operators/data_cleaning.py:61-64); the Spark-first analog
+    captures unparseable CSV rows in ``_corrupt_record`` at scan time and
+    routes them out instead of failing the job. Returns (good, corrupt).
+    """
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in required_columns]
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+        .cache()  # required: corrupt-record column cannot be filtered on a
+        # per-query basis without materializing the parse (Spark constraint)
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, corrupt

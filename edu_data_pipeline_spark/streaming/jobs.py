@@ -251,3 +251,15 @@ def count_bounded_metrics(cleaned: DataFrame, max_events: int = 1000) -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_event_stream(cleaned: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates on event_id
+    within the watermark horizon (state expires after ``watermark``).
+
+    The streaming twin of D2 — the batch window dedup cannot run on a
+    stream; Spark keeps seen-key state per event_id instead.
+    """
+    return cleaned.withWatermark("event_timestamp", watermark).dropDuplicates(
+        ["event_id"]
+    )

@@ -704,3 +704,59 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH over embeddings — the banded ANN scale path
+# ---------------------------------------------------------------------------
+
+N_LSH_TABLES = 3   # independent hash tables (union of candidates)
+N_LSH_BITS = 4     # sign bits per table -> 16 buckets each
+
+def _hyperplane_bits(table_idx: int) -> Column:
+    """4-bit sign signature under deterministic hash-seeded ±1 hyperplanes."""
+    sig = None
+    for b in range(N_LSH_BITS):
+        p = table_idx * N_LSH_BITS + b
+        dot_p = F.aggregate(
+            F.zip_with(
+                F.col("emb"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("emb") - 1),
+                    lambda d: F.when(
+                        F.abs(F.hash(d, F.lit(p))) % 2 == 0, F.lit(1.0)
+                    ).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot_p > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("int")
+
+
+@register("embedding_lsh_buckets", oracle=None)  # rows-only: recall locked by pytest
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-bit LSH: 3 independent tables of 4 hash-seeded
+    hyperplane bits. Near-duplicate candidate generation joins on
+    (table_idx, bucket) — the embedding analog of MinHash banding; more
+    tables raise recall, more bits shrink buckets. Recall vs the
+    brute-force top pairs is locked by pytest.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    tables = [
+        e.select(
+            "vec_id", "label",
+            F.lit(t).alias("table_idx"),
+            _hyperplane_bits(t).alias("bucket"),
+        )
+        for t in range(N_LSH_TABLES)
+    ]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out

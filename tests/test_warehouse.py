@@ -196,3 +196,31 @@ def test_approx_sketches_accuracy(spark):
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
         assert len(r.approx_p50_p90) == 2
         assert r.approx_p50_p90[0] <= r.approx_p50_p90[1]
+
+
+def test_embedding_lsh_recall(spark):
+    """Same-bucket probability must be far higher for true near-neighbors
+    (top brute-force pairs) than for random pairs."""
+    from edu_data_pipeline_spark.suite.analytics_suite import NOW_DATE  # noqa: F401
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        embedding_lsh_buckets, embedding_top_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    buckets: dict[int, set] = {}
+    for r in embedding_lsh_buckets(spark, sf).collect():
+        buckets.setdefault(r.vec_id, set()).add((r.table_idx, r.bucket))
+
+    def collide(a, b):
+        return bool(buckets[a] & buckets[b])
+
+    top = embedding_top_pairs(spark, sf).collect()
+    hit_top = sum(collide(r.vec_a, r.vec_b) for r in top) / len(top)
+    import random
+    random.seed(7)
+    ids = list(buckets)
+    rand_pairs = [tuple(random.sample(ids, 2)) for _ in range(300)]
+    hit_rand = sum(collide(a, b) for a, b in rand_pairs) / len(rand_pairs)
+    # true near-neighbors collide in at least one table far more often
+    assert hit_top >= 0.5
+    assert hit_top > 1.5 * hit_rand
