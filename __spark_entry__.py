@@ -25,9 +25,10 @@ def entry(spark: SparkSession) -> DataFrame:
     Star join region->nation->customer->orders->lineitem with broadcast
     dims and a deterministic revenue aggregate (suite: region_revenue).
     """
-    from edu_data_pipeline_spark.suite.analytics_suite import region_revenue
+    from edu_data_pipeline_spark.suite import ensure_session_confs, load_all
 
-    return region_revenue(spark, "/root/testdata/sf0.001")
+    ensure_session_confs(spark)
+    return load_all()["region_revenue"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -148,6 +148,9 @@ def run_batch_pipeline(
 ) -> dict[str, int]:
     """Full E1+E2+E3 run. Returns per-table row counts (the BASELINE.md
     golden numbers for a single clean run)."""
+    from .suite import ensure_session_confs
+
+    ensure_session_confs(spark)
     ref = F.lit(ref_date).cast("date")
     ref_ts = F.lit(f"{ref_date} 00:00:00").cast("timestamp")
     counts: dict[str, int] = {}

@@ -30,10 +30,36 @@ class SuiteEntry:
 
 REGISTRY: dict[str, SuiteEntry] = {}
 
+# Runtime confs the queries depend on, applied defensively because the
+# DRIVER calls queries() with its own SparkSession (which may have Spark 4
+# defaults: ANSI on, local timezone, no nanos support):
+# - nanosAsLong: events.ts is TIMESTAMP(NANOS) parquet
+# - UTC session tz: deterministic timestamp/date semantics
+# - ansi off: cleaning rules rely on NULL-on-bad-cast (reference behavior)
+REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for key, value in REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf not recognized on some builds: proceed
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
-        REGISTRY[name] = SuiteEntry(name, fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str):
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = SuiteEntry(name, wrapped, oracle)
         return fn
 
     return deco
