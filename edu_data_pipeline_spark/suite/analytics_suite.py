@@ -819,3 +819,63 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operators: INTERSECT / EXCEPT (beyond the reference's UNION ALL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_set_ops",
+    oracle="""
+    SELECT 'both_short_and_long' AS set_op, source FROM (
+      SELECT DISTINCT source FROM documents WHERE n_chars < 200
+      INTERSECT
+      SELECT DISTINCT source FROM documents WHERE n_chars >= 200
+    )
+    UNION ALL
+    SELECT 'only_short', source FROM (
+      SELECT DISTINCT source FROM documents WHERE n_chars < 200
+      EXCEPT
+      SELECT DISTINCT source FROM documents WHERE n_chars >= 200
+    )
+    """,
+)
+def source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    short = d.where(F.col("n_chars") < 200).select("source").distinct()
+    long_ = d.where(F.col("n_chars") >= 200).select("source").distinct()
+    both = short.intersect(long_).select(
+        F.lit("both_short_and_long").alias("set_op"), "source"
+    )
+    only_short = short.exceptAll(long_).select(
+        F.lit("only_short").alias("set_op"), "source"
+    )
+    return both.unionByName(only_short)
+
+
+# ---------------------------------------------------------------------------
+# CUBE (full grouping-set lattice; ROLLUP's sibling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_cube",
+    oracle=f"""
+    SELECT event_type,
+           CAST(strftime(ts, '%Y%m%d') AS INTEGER) % 7 AS day_bucket,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, day_bucket)
+    """,
+)
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").withColumn(
+        "day_bucket", (date_key(F.col("ts").cast("date")) % 7).cast("int")
+    )
+    return e.cube("event_type", "day_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )

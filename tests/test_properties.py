@@ -98,3 +98,34 @@ def test_score_validation_bounds(spark, numbers):
     for v, _ in got:
         if v is not None:
             assert 0.0 <= v <= 100.0
+
+
+def test_minhash_partitioning_invariance(spark):
+    """Signatures must be identical however the input is partitioned —
+    the determinism the decimal/min-agg design guarantees."""
+    from edu_data_pipeline_spark.suite.scale_suite import minhash_signatures
+    from edu_data_pipeline_spark.sources import testdata
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in minhash_signatures(spark, sf).collect()}
+
+    original_table = testdata.table
+
+    def skewed_table(s, d, name):
+        df = original_table(s, d, name)
+        return df.repartition(3) if name == "documents" else df
+
+    testdata.table = skewed_table
+    try:
+        import importlib
+        from edu_data_pipeline_spark.suite import scale_suite
+        importlib.reload(scale_suite)
+        repartitioned = {
+            tuple(r) for r in scale_suite.minhash_signatures(spark, sf).collect()
+        }
+    finally:
+        testdata.table = original_table
+        import importlib
+        from edu_data_pipeline_spark.suite import scale_suite
+        importlib.reload(scale_suite)
+    assert base == repartitioned
