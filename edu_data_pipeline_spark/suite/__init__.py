@@ -68,40 +68,66 @@ def register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 # Deterministic float aggregates.
 #
-# A sum of doubles is order-dependent (Spark partial aggregation vs DuckDB's
-# sequential scan), so round(sum(double), n) can land on opposite sides of a
-# rounding boundary. Both engines sum DECIMAL exactly, so every aggregated
-# double goes through DECIMAL(28,10): identical exact sums -> identical
-# doubles -> identical rounding -> identical value hashes.
+# Two divergence sources are closed here:
+# 1. A sum of doubles is order-dependent (Spark partial aggregation vs
+#    DuckDB's sequential scan) -> both engines sum exact DECIMAL(28,10).
+# 2. A DIRECT double->decimal cast itself diverges by 1 ULP for some
+#    doubles (DuckDB rounds the decimal string, Spark rounds the binary
+#    value), which resurfaces in averages that land exactly on a rounding
+#    boundary. So quantization goes through the STRING repr: both engines
+#    print identical shortest reprs for this value range (verified over
+#    every testdata float column) and both round string->decimal half-up.
 # ---------------------------------------------------------------------------
 
 DEC = "decimal(28,10)"
+
+
+def _dec(col):
+    from pyspark.sql import functions as F
+
+    return col.cast("string").cast(DEC)
+
+
+def dround(col, scale: int):
+    """Deterministic rounding of a double: engines disagree on round()
+    itself at exact half boundaries (Spark rounds the shortest decimal
+    repr half-up, DuckDB rounds the scaled binary value), so rounding also
+    goes string -> decimal(38,scale) -> double."""
+    return col.cast("string").cast(f"decimal(38,{scale})").cast("double")
 
 
 def dsum(col, scale: int = 2):
     """Deterministic rounded sum of a double column (Spark side)."""
     from pyspark.sql import functions as F
 
-    return F.round(F.sum(col.cast(DEC)).cast("double"), scale)
+    return dround(F.sum(_dec(col)).cast("double"), scale)
 
 
 def davg(col, scale: int = 4):
     """Deterministic rounded average (exact decimal sum / non-null count)."""
     from pyspark.sql import functions as F
 
-    return F.round(F.sum(col.cast(DEC)).cast("double") / F.count(col), scale)
+    return dround(F.sum(_dec(col)).cast("double") / F.count(col), scale)
+
+
+def _sql_dec(expr: str) -> str:
+    return f"CAST(CAST({expr} AS VARCHAR) AS DECIMAL(28,10))"
+
+
+def sql_dround(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`dround`."""
+    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale})) AS DOUBLE)"
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB twin of :func:`dsum`."""
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE), {scale})"
+    return sql_dround(f"CAST(sum({_sql_dec(expr)}) AS DOUBLE)", scale)
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:
     """DuckDB twin of :func:`davg`."""
-    return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(28,10))) AS DOUBLE)"
-        f" / count({expr}), {scale})"
+    return sql_dround(
+        f"CAST(sum({_sql_dec(expr)}) AS DOUBLE) / count({expr})", scale
     )
 
 

@@ -77,7 +77,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) DESC,
+    ORDER BY sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(28,10))) DESC,
              o_orderkey
     LIMIT 10
     """,
@@ -94,7 +94,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(disc_price.cast("decimal(28,10)")).alias("revenue_exact"),
+            F.sum(disc_price.cast("string").cast("decimal(28,10)")).alias("revenue_exact"),
         )
         # rank on the EXACT decimal so the top-10 cut is deterministic
         .orderBy(F.desc("revenue_exact"), F.asc("o_orderkey"))
