@@ -164,3 +164,41 @@ def test_count_bounded_stateful_metrics(spark, tmp_path):
     assert bool(s1.anomaly) is True  # 1/3 > 0.2
     s2 = latest["STU002"]
     assert (s2["count"], s2.errors) == (1, 1)
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """Late-data policy (documented in jobs.py): events older than the
+    watermark are dropped. Append-mode windows finalize once the watermark
+    passes window end; a subsequent too-late event never re-opens them."""
+    src = str(tmp_path / "late_events")
+
+    def ev(eid, sid, ts):
+        return {"event_id": eid, "student_id": sid, "course_id": "C1",
+                "event_type": "x", "event_timestamp": ts,
+                "duration_seconds": "60", "score": "50", "module_id": "M",
+                "completion_percentage": "10"}
+
+    # batch 1: two events in the 10:00 5-min window
+    write_events(src, [ev("e1", "STU001", "2024-02-01T10:00:30"),
+                       ev("e2", "STU001", "2024-02-01T10:02:00")], "b1.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    metrics = jobs.windowed_student_metrics(
+        cleaned, window_duration="5 minutes", slide="5 minutes", watermark="10 minutes"
+    )
+    q = (metrics.writeStream.format("memory").queryName("late_sink")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: event far in the future -> advances watermark beyond 10:05
+    write_events(src, [ev("e3", "STU002", "2024-02-01T12:00:00")], "b2.json")
+    q.processAllAvailable()
+    # batch 3: too-late event for the (finalized) 10:00 window
+    write_events(src, [ev("e4", "STU001", "2024-02-01T10:01:00")], "b3.json")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT * FROM late_sink WHERE student_id = 'STU001'"
+    ).collect()
+    assert len(rows) == 1  # the 10:00 window emitted exactly once
+    assert rows[0]["count"] == 2  # e4 (late) was dropped, not merged
