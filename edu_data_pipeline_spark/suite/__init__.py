@@ -82,9 +82,15 @@ def register(name: str, oracle: str | None = None):
 DEC = "decimal(28,10)"
 
 
-def _dec(col):
-    from pyspark.sql import functions as F
-
+def _dec(col, exact2: bool = False):
+    """String-route quantization; ``exact2`` takes the direct (cheaper)
+    cast, valid ONLY for columns whose values are exactly k/100 with
+    |value| < 1e6 (raw money columns): the binary tail of such doubles
+    starts ~digit 12, so the scale-10 rounding digit is always 0 — no tie,
+    both engines produce exactly k/100. Products/derived doubles must stay
+    on the string route."""
+    if exact2:
+        return col.cast(DEC)
     return col.cast("string").cast(DEC)
 
 
@@ -96,21 +102,23 @@ def dround(col, scale: int):
     return col.cast("string").cast(f"decimal(38,{scale})").cast("double")
 
 
-def dsum(col, scale: int = 2):
+def dsum(col, scale: int = 2, exact2: bool = False):
     """Deterministic rounded sum of a double column (Spark side)."""
     from pyspark.sql import functions as F
 
-    return dround(F.sum(_dec(col)).cast("double"), scale)
+    return dround(F.sum(_dec(col, exact2)).cast("double"), scale)
 
 
-def davg(col, scale: int = 4):
+def davg(col, scale: int = 4, exact2: bool = False):
     """Deterministic rounded average (exact decimal sum / non-null count)."""
     from pyspark.sql import functions as F
 
-    return dround(F.sum(_dec(col)).cast("double") / F.count(col), scale)
+    return dround(F.sum(_dec(col, exact2)).cast("double") / F.count(col), scale)
 
 
-def _sql_dec(expr: str) -> str:
+def _sql_dec(expr: str, exact2: bool = False) -> str:
+    if exact2:
+        return f"CAST({expr} AS DECIMAL(28,10))"
     return f"CAST(CAST({expr} AS VARCHAR) AS DECIMAL(28,10))"
 
 
@@ -119,15 +127,15 @@ def sql_dround(expr: str, scale: int) -> str:
     return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale})) AS DOUBLE)"
 
 
-def sql_dsum(expr: str, scale: int = 2) -> str:
+def sql_dsum(expr: str, scale: int = 2, exact2: bool = False) -> str:
     """DuckDB twin of :func:`dsum`."""
-    return sql_dround(f"CAST(sum({_sql_dec(expr)}) AS DOUBLE)", scale)
+    return sql_dround(f"CAST(sum({_sql_dec(expr, exact2)}) AS DOUBLE)", scale)
 
 
-def sql_davg(expr: str, scale: int = 4) -> str:
+def sql_davg(expr: str, scale: int = 4, exact2: bool = False) -> str:
     """DuckDB twin of :func:`davg`."""
     return sql_dround(
-        f"CAST(sum({_sql_dec(expr)}) AS DOUBLE) / count({expr})", scale
+        f"CAST(sum({_sql_dec(expr, exact2)}) AS DOUBLE) / count({expr})", scale
     )
 
 

@@ -29,13 +29,13 @@ NOW_DATE = "2024-01-31"
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')}                                    AS sum_qty,
-           {sql_dsum('l_extendedprice')}                               AS sum_base_price,
+           {sql_dsum('l_quantity', exact2=True)}                       AS sum_qty,
+           {sql_dsum('l_extendedprice', exact2=True)}                  AS sum_base_price,
            {sql_dsum('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
            {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {sql_davg('l_quantity')}                                    AS avg_qty,
-           {sql_davg('l_extendedprice')}                               AS avg_price,
-           {sql_davg('l_discount')}                                    AS avg_disc,
+           {sql_davg('l_quantity', exact2=True)}                       AS avg_qty,
+           {sql_davg('l_extendedprice', exact2=True)}                  AS avg_price,
+           {sql_davg('l_discount', exact2=True)}                       AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -50,13 +50,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_quantity"), exact2=True).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), exact2=True).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
             dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            davg(F.col("l_quantity"), exact2=True).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), exact2=True).alias("avg_price"),
+            davg(F.col("l_discount"), exact2=True).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -481,7 +481,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE o_orderstatus WHEN 'O' THEN 'OPEN' WHEN 'F' THEN 'FULFILLED'
                               WHEN 'P' THEN 'PARTIAL' ELSE 'UNKNOWN' END AS status,
            count(*) AS n_orders,
-           {sql_dsum('o_totalprice')} AS total_value
+           {sql_dsum('o_totalprice', exact2=True)} AS total_value
     FROM orders
     GROUP BY 1
     """,
@@ -498,7 +498,7 @@ def order_status_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_value"),
+            dsum(F.col("o_totalprice"), exact2=True).alias("total_value"),
         )
     )
 
@@ -520,7 +520,7 @@ def order_status_map(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              count(*) AS total_orders,
              count(*) FILTER (WHERE o_orderstatus = 'O') AS open_orders,
-             {sql_dsum('o_totalprice')} AS total_spent
+             {sql_dsum('o_totalprice', exact2=True)} AS total_spent
       FROM orders GROUP BY o_custkey
     ) o ON o.o_custkey = c.c_custkey
     """,
@@ -531,7 +531,7 @@ def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("total_orders"),
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("open_orders"),
-        dsum(F.col("o_totalprice")).alias("total_spent"),
+        dsum(F.col("o_totalprice"), exact2=True).alias("total_spent"),
     )
     return c.join(counts, c.c_custkey == counts.o_custkey, "left").select(
         "c_custkey",
@@ -629,7 +629,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_rollup",
     oracle=f"""
     SELECT r_name, n_name,
-           {sql_dsum('o_totalprice')} AS revenue,
+           {sql_dsum('o_totalprice', exact2=True)} AS revenue,
            count(*) AS n_orders
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -651,7 +651,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.o_custkey == F.col("c_custkey"),
     )
     return joined.rollup("r_name", "n_name").agg(
-        dsum(F.col("o_totalprice")).alias("revenue"),
+        dsum(F.col("o_totalprice"), exact2=True).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
