@@ -668,19 +668,60 @@ def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("knn_ivf", oracle=None)  # rows-only: float centroid averaging
+_IVF_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "knn_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), pos AS (
+      SELECT vec_id, label, unnest(emb) AS x, generate_subscripts(emb, 1) AS pos
+      FROM e
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(x) AS cx
+      FROM pos GROUP BY label, pos
+    ), centroids AS (
+      SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), q AS (
+      SELECT emb AS qv FROM e WHERE vec_id = 0
+    ), probe AS (
+      SELECT c.label FROM centroids c CROSS JOIN q
+      ORDER BY {_IVF_COS.format(a="c.centroid", b="q.qv")} DESC, c.label
+      LIMIT 1
+    ), scored AS (
+      SELECT e.vec_id, e.label, {_IVF_COS.format(a="e.emb", b="q.qv")} AS cos
+      FROM e JOIN probe ON e.label = probe.label CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flavored ANN: centroids = per-label mean vectors (labels stand in
     for learned IVF cells), the query probes its nearest centroid's
     partition only — searching ~1/n_labels of the corpus. Brute-force
-    (knn_bruteforce) is the recall baseline next to this.
+    (knn_bruteforce) is the recall baseline next to this. Centroid
+    components sum through DECIMAL(28,10) quantization so the mean is
+    independent of partition/accumulation order and hash-matches DuckDB.
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
     pos = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "x"))
+    cx = (
+        F.sum(F.col("x").cast("string").cast("decimal(28,10)")).cast("double")
+        / F.count("x")
+    )
     centroids = (
-        pos.groupBy("label", "pos").agg(F.avg("x").alias("cx"))
+        pos.groupBy("label", "pos").agg(cx.alias("cx"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
@@ -689,7 +730,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = (
         centroids.crossJoin(q)
         .select("label", _cosine(F.col("centroid"), F.col("qv")).alias("cos"))
-        .orderBy(F.desc("cos"))
+        .orderBy(F.desc("cos"), F.asc("label"))
         .limit(1)
         .select(F.col("label").alias("probe_label"))
     )
@@ -710,25 +751,36 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane (sign) LSH over embeddings — the banded ANN scale path
 # ---------------------------------------------------------------------------
 
-N_LSH_TABLES = 3   # independent hash tables (union of candidates)
+N_LSH_TABLES = 6   # independent hash tables (union of candidates)
 N_LSH_BITS = 4     # sign bits per table -> 16 buckets each
 
-def _hyperplane_bits(table_idx: int) -> Column:
-    """4-bit sign signature under deterministic hash-seeded ±1 hyperplanes."""
+
+def _hp_values(p: int, dim: int) -> list[float]:
+    """Uniform[-1,1) hyperplane component for plane ``p``, derived from the
+    first 32 bits of ``md5("{d}_{p}")``: ``(u / 2^32) * 2 - 1``.
+
+    md5 is bit-identical across Spark, DuckDB and hashlib, and the mapping
+    is exact IEEE arithmetic (a 33-bit integer over a power-of-two
+    denominator), so the oracle SQL reconstructs the very same doubles.
+    """
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{d}_{p}".encode()).hexdigest()[:8], 16) / 4294967296.0)
+        * 2
+        - 1
+        for d in range(dim)
+    ]
+
+
+def _hyperplane_bits(table_idx: int, dim: int) -> Column:
+    """4-bit sign signature under deterministic md5-derived hyperplanes."""
     sig = None
     for b in range(N_LSH_BITS):
         p = table_idx * N_LSH_BITS + b
+        hp = F.array(*[F.lit(v) for v in _hp_values(p, dim)])
         dot_p = F.aggregate(
-            F.zip_with(
-                F.col("emb"),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("emb") - 1),
-                    lambda d: F.when(
-                        F.abs(F.hash(d, F.lit(p))) % 2 == 0, F.lit(1.0)
-                    ).otherwise(F.lit(-1.0)),
-                ),
-                lambda x, h: x * h,
-            ),
+            F.zip_with(F.col("emb"), hp, lambda x, h: x * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -737,22 +789,52 @@ def _hyperplane_bits(table_idx: int) -> Column:
     return sig.cast("int")
 
 
-@register("embedding_lsh_buckets", oracle=None)  # rows-only: recall locked by pytest
+def _sql_hplane(p: int) -> str:
+    return (
+        "list_transform(range(len(emb)), d -> "
+        "(CAST(CAST('0x' || substr(md5(d::VARCHAR || "
+        f"'_{p}'), 1, 8) AS UINTEGER) AS DOUBLE) / 4294967296.0) * 2 - 1)"
+    )
+
+
+def _sql_bucket(t: int) -> str:
+    terms = []
+    for b in range(N_LSH_BITS):
+        p = t * N_LSH_BITS + b
+        dot = f"list_dot_product(emb, {_sql_hplane(p)})"
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_ORACLE = (
+    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT vec_id, label, {t} AS table_idx, {_sql_bucket(t)} AS bucket FROM e"
+        for t in range(N_LSH_TABLES)
+    )
+)
+
+
+@register("embedding_lsh_buckets", oracle=_LSH_ORACLE)
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-bit LSH: 3 independent tables of 4 hash-seeded
+    """Multi-table sign-bit LSH: 6 independent tables of 4 md5-derived
     hyperplane bits. Near-duplicate candidate generation joins on
     (table_idx, bucket) — the embedding analog of MinHash banding; more
     tables raise recall, more bits shrink buckets. Recall vs the
-    brute-force top pairs is locked by pytest.
+    brute-force top pairs is locked by pytest; bucket assignment itself
+    hash-matches the DuckDB oracle (md5 + list_dot_product are
+    bit-identical across engines).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+    first = e.select("emb").first()
+    dim = len(first["emb"]) if first else 0
     tables = [
         e.select(
             "vec_id", "label",
             F.lit(t).alias("table_idx"),
-            _hyperplane_bits(t).alias("bucket"),
+            _hyperplane_bits(t, dim).alias("bucket"),
         )
         for t in range(N_LSH_TABLES)
     ]
