@@ -116,6 +116,45 @@ def davg(col, scale: int = 4, exact2: bool = False):
     return dround(F.sum(_dec(col, exact2)).cast("double") / F.count(col), scale)
 
 
+def cents(col, prec: int = 12):
+    """Exact decimal view of a double holding k/100 money values (same
+    validity argument as ``_dec(exact2=True)``). Products of such decimals
+    stay exact while total precision fits 38, so derived amounts like
+    ``price * (1 - disc)`` can sum without the string-route quantization —
+    and the decimal accumulator cannot overflow at any realistic scale
+    (vs scaled-long sums, which wrap past ~2^63)."""
+    return col.cast(f"decimal({prec},2)")
+
+
+def dsum_exact(dec_col, scale: int = 2):
+    """Rounded sum of an already-exact decimal expression (Spark side)."""
+    from pyspark.sql import functions as F
+
+    return dround(F.sum(dec_col).cast("double"), scale)
+
+
+def davg_exact(dec_col, count_col, scale: int = 4):
+    """Rounded mean of an already-exact decimal expression (Spark side)."""
+    from pyspark.sql import functions as F
+
+    return dround(F.sum(dec_col).cast("double") / F.count(count_col), scale)
+
+
+def sql_cents(expr: str, prec: int = 12) -> str:
+    """DuckDB twin of :func:`cents`."""
+    return f"CAST({expr} AS DECIMAL({prec},2))"
+
+
+def sql_dsum_exact(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum_exact`."""
+    return sql_dround(f"CAST(sum({expr}) AS DOUBLE)", scale)
+
+
+def sql_davg_exact(expr: str, count_expr: str, scale: int = 4) -> str:
+    """DuckDB twin of :func:`davg_exact`."""
+    return sql_dround(f"CAST(sum({expr}) AS DOUBLE) / count({count_expr})", scale)
+
+
 def _sql_dec(expr: str, exact2: bool = False) -> str:
     if exact2:
         return f"CAST({expr} AS DECIMAL(28,10))"

@@ -14,10 +14,39 @@ from pyspark.sql import functions as F
 
 from ..functions.dates import date_key
 from ..sources.testdata import table
-from . import davg, dsum, register, sql_davg, sql_dsum
+from . import (
+    cents,
+    davg,
+    davg_exact,
+    dround,
+    dsum,
+    dsum_exact,
+    register,
+    sql_cents,
+    sql_davg,
+    sql_davg_exact,
+    sql_dsum,
+    sql_dsum_exact,
+)
 
 # Fixed reference clock for event-window queries (events span Jan 2024).
 NOW_DATE = "2024-01-31"
+
+# DuckDB twins of the exact-cents money expressions (see suite.cents).
+_SQL_DISC_PRICE = f"{sql_cents('l_extendedprice')} * (1 - {sql_cents('l_discount', 3)})"
+_SQL_CHARGE = f"{_SQL_DISC_PRICE} * (1 + {sql_cents('l_tax', 3)})"
+
+
+def _disc_price_dec():
+    """price * (1 - disc) as an exact decimal(17,4) — no quantization."""
+    one = F.lit(1).cast("decimal(1,0)")
+    return cents(F.col("l_extendedprice")) * (one - cents(F.col("l_discount"), 3))
+
+
+def _charge_dec():
+    """disc_price * (1 + tax) as an exact decimal(22,6)."""
+    one = F.lit(1).cast("decimal(1,0)")
+    return _disc_price_dec() * (one + cents(F.col("l_tax"), 3))
 
 
 # ---------------------------------------------------------------------------
@@ -29,13 +58,13 @@ NOW_DATE = "2024-01-31"
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity', exact2=True)}                       AS sum_qty,
-           {sql_dsum('l_extendedprice', exact2=True)}                  AS sum_base_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')}            AS sum_disc_price,
-           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {sql_davg('l_quantity', exact2=True)}                       AS avg_qty,
-           {sql_davg('l_extendedprice', exact2=True)}                  AS avg_price,
-           {sql_davg('l_discount', exact2=True)}                       AS avg_disc,
+           {sql_dsum_exact(sql_cents('l_quantity'))}                   AS sum_qty,
+           {sql_dsum_exact(sql_cents('l_extendedprice'))}              AS sum_base_price,
+           {sql_dsum_exact(_SQL_DISC_PRICE)}                           AS sum_disc_price,
+           {sql_dsum_exact(_SQL_CHARGE)}                               AS sum_charge,
+           {sql_davg_exact(sql_cents('l_quantity'), 'l_quantity')}     AS avg_qty,
+           {sql_davg_exact(sql_cents('l_extendedprice'), 'l_extendedprice')} AS avg_price,
+           {sql_davg_exact(sql_cents('l_discount', 3), 'l_discount')}  AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -43,20 +72,27 @@ NOW_DATE = "2024-01-31"
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. All money math runs in exact decimal: the raw
+    columns hold exact cents, so casting to decimal(p,2) and multiplying
+    keeps every intermediate exact (disc_price decimal(17,4), charge
+    decimal(22,6)) — order-independent sums with no per-row string
+    quantization, and no overflow at scale."""
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         l.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity"), exact2=True).alias("sum_qty"),
-            dsum(F.col("l_extendedprice"), exact2=True).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity"), exact2=True).alias("avg_qty"),
-            davg(F.col("l_extendedprice"), exact2=True).alias("avg_price"),
-            davg(F.col("l_discount"), exact2=True).alias("avg_disc"),
+            dsum_exact(cents(F.col("l_quantity"))).alias("sum_qty"),
+            dsum_exact(cents(F.col("l_extendedprice"))).alias("sum_base_price"),
+            dsum_exact(_disc_price_dec()).alias("sum_disc_price"),
+            dsum_exact(_charge_dec()).alias("sum_charge"),
+            davg_exact(cents(F.col("l_quantity")), F.col("l_quantity")).alias("avg_qty"),
+            davg_exact(
+                cents(F.col("l_extendedprice")), F.col("l_extendedprice")
+            ).alias("avg_price"),
+            davg_exact(cents(F.col("l_discount"), 3), F.col("l_discount")).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -70,15 +106,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_orders",
     oracle=f"""
-    SELECT o_orderkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+    SELECT o_orderkey, {sql_dsum_exact(_SQL_DISC_PRICE)} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
     GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY sum(CAST(CAST(l_extendedprice * (1 - l_discount) AS VARCHAR) AS DECIMAL(28,10))) DESC,
-             o_orderkey
+    ORDER BY sum({_SQL_DISC_PRICE}) DESC, o_orderkey
     LIMIT 10
     """,
 )
@@ -88,20 +123,17 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
     )
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(disc_price.cast("string").cast("decimal(28,10)")).alias("revenue_exact"),
-        )
+        .agg(F.sum(_disc_price_dec()).alias("revenue_exact"))
         # rank on the EXACT decimal so the top-10 cut is deterministic
         .orderBy(F.desc("revenue_exact"), F.asc("o_orderkey"))
         .limit(10)
         .select(
             "o_orderkey",
-            F.round(F.col("revenue_exact").cast("double"), 2).alias("revenue"),
+            dround(F.col("revenue_exact").cast("double"), 2).alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )
@@ -117,7 +149,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_revenue",
     oracle=f"""
     SELECT r_name, n_name,
-           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_dsum_exact(_SQL_DISC_PRICE)} AS revenue,
            count(*) AS n_lineitems
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
@@ -133,7 +165,6 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     dims = F.broadcast(
         n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name", "r_name")
     )
@@ -143,7 +174,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, o.o_custkey == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            dsum(disc_price).alias("revenue"),
+            dsum_exact(_disc_price_dec()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -187,8 +218,8 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*)                                       AS n_events,
            count(DISTINCT event_type)                     AS n_event_types,
-           {sql_davg('value')}                            AS avg_value,
-           {sql_dsum('value')}                            AS total_value,
+           {sql_davg('value', exact2=True)}                            AS avg_value,
+           {sql_dsum('value', exact2=True)}                            AS total_value,
            max(ts)                                        AS last_ts,
            count(*) FILTER (WHERE datediff('day', CAST(ts AS DATE), DATE '{NOW_DATE}') < 7)
                                                           AS events_7d,
@@ -204,8 +235,8 @@ def events_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("event_type").alias("n_event_types"),
-        davg(F.col("value")).alias("avg_value"),
-        dsum(F.col("value")).alias("total_value"),
+        davg(F.col("value"), exact2=True).alias("avg_value"),
+        dsum(F.col("value"), exact2=True).alias("total_value"),
         F.max("ts").alias("last_ts"),
         F.count(F.when(days_ago < 7, 1)).alias("events_7d"),
         F.count(F.when(days_ago < 30, 1)).alias("events_30d"),
@@ -223,7 +254,7 @@ def events_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*)                AS n_events,
-           {sql_davg('value')}     AS avg_value
+           {sql_davg('value', exact2=True)}     AS avg_value
     FROM events
     GROUP BY event_type
     """,
@@ -235,7 +266,7 @@ def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),
-            davg(F.col("value")).alias("avg_value"),
+            davg(F.col("value"), exact2=True).alias("avg_value"),
         )
     )
 
@@ -423,7 +454,7 @@ def dim_date_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(strftime(ts, '%Y%m%d') AS INTEGER)        AS date_key,
            count(DISTINCT user_id)                        AS active_users,
            count(*)                                       AS total_events,
-           {sql_davg('value')}                            AS avg_value,
+           {sql_davg('value', exact2=True)}                            AS avg_value,
            count(*) FILTER (WHERE event_type = 'error')   AS error_count
     FROM events
     GROUP BY 1
@@ -436,7 +467,7 @@ def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct("user_id").alias("active_users"),
             F.count(F.lit(1)).alias("total_events"),
-            davg(F.col("value")).alias("avg_value"),
+            davg(F.col("value"), exact2=True).alias("avg_value"),
             F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
         )
     )
@@ -453,7 +484,7 @@ def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts)  AS window_start,
            count(*)                AS n_events,
            count(DISTINCT user_id) AS n_users,
-           {sql_davg('value')}     AS avg_value
+           {sql_davg('value', exact2=True)}     AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -465,7 +496,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            davg(F.col("value")).alias("avg_value"),
+            davg(F.col("value"), exact2=True).alias("avg_value"),
         )
     )
 
@@ -569,7 +600,7 @@ def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            min(ts) AS session_start,
            max(ts) AS session_end,
-           {sql_dsum('value')} AS session_value
+           {sql_dsum('value', exact2=True)} AS session_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -591,7 +622,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        dsum(F.col("value")).alias("session_value"),
+        dsum(F.col("value"), exact2=True).alias("session_value"),
     )
 
 
@@ -866,7 +897,7 @@ def source_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(strftime(ts, '%Y%m%d') AS INTEGER) % 7 AS day_bucket,
            count(*) AS n_events,
-           {sql_dsum('value')} AS total_value
+           {sql_dsum('value', exact2=True)} AS total_value
     FROM events
     GROUP BY CUBE (event_type, day_bucket)
     """,
@@ -877,5 +908,5 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.cube("event_type", "day_bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        dsum(F.col("value")).alias("total_value"),
+        dsum(F.col("value"), exact2=True).alias("total_value"),
     )
