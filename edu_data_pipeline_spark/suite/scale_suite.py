@@ -392,55 +392,179 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit demo width; same pattern widens to 64)
+# SimHash — 64-bit (Manku et al. width) as 4 x 16-bit words. Words double as
+# LSH bands for the near-pair query: hamming <= 3 guarantees at least one of
+# the 4 words is identical (pigeonhole), so the band equi-join is lossless.
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 16
+SIMHASH_WORDS = 4        # 16-bit words -> 64-bit fingerprint
+SIMHASH_WORD_BITS = 16
+SIMHASH_HAM_MAX = 3      # near-dup threshold over the full 64 bits
 
-_SQL_BIT_SUMS = ",\n".join(
-    f"             sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
-    for i in range(SIMHASH_BITS)
+
+def _sql_word_sums() -> str:
+    return ",\n".join(
+        f"             sum(CASE WHEN (h_{j} >> {i}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS s_{j}_{i}"
+        for j in range(SIMHASH_WORDS)
+        for i in range(SIMHASH_WORD_BITS)
+    )
+
+
+def _sql_word_combine(j: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s_{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_WORD_BITS)
+    )
+
+
+_SQL_HASHED_WORDS = ",\n".join(
+    f"             CAST(CAST('0x' || substr(md5(t), {1 + 4 * j}, 4) AS UINTEGER)"
+    f" AS BIGINT) AS h_{j}"
+    for j in range(SIMHASH_WORDS)
 )
-_SQL_BIT_COMBINE = " + ".join(
-    f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
-)
+
+_SQL_SIMHASH_WORDS = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+{_SQL_HASHED_WORDS}
+      FROM toks
+    ), bit_sums AS (
+      SELECT doc_id,
+{_sql_word_sums()}
+      FROM hashed GROUP BY doc_id
+    ), words AS (
+      SELECT doc_id,
+             {", ".join(f"CAST({_sql_word_combine(j)} AS BIGINT) AS w_{j}" for j in range(SIMHASH_WORDS))}
+      FROM bit_sums
+    )
+"""
+
+
+def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash as four 16-bit words (w_0..w_3)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    m = F.md5(F.col("t"))
+    hashed = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(m, 1 + 4 * j, 4), 16, 10).cast("long").alias(f"h_{j}")
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h_{j}"), i).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s_{j}_{i}")
+            for j in range(SIMHASH_WORDS)
+            for i in range(SIMHASH_WORD_BITS)
+        ]
+    )
+    words = []
+    for j in range(SIMHASH_WORDS):
+        combined = None
+        for i in range(SIMHASH_WORD_BITS):
+            term = F.when(F.col(f"s_{j}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            combined = term if combined is None else combined + term
+        words.append(combined.cast("long").alias(f"w_{j}"))
+    return bit_sums.select("doc_id", *words)
 
 
 @register(
     "docs_simhash",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
-    ), hashed AS (
-      SELECT doc_id, CAST(CAST('0x' || substr(md5(t), 1, 4) AS UINTEGER) AS BIGINT) AS h
-      FROM toks
-    ), bit_sums AS (
-      SELECT doc_id,
-{_SQL_BIT_SUMS}
-      FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({_SQL_BIT_COMBINE} AS BIGINT) AS simhash
-    FROM bit_sums
+    oracle=f"""{_SQL_SIMHASH_WORDS}
+    SELECT doc_id,
+           {" || ".join(f"printf('%04x', CAST(w_{j} AS INTEGER))" for j in range(SIMHASH_WORDS))}
+             AS simhash_hex
+    FROM words
     """,
 )
 def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 4), 16, 10).cast("long")
-    hashed = toks.select("doc_id", h.alias("h"))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s_{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    """64-bit SimHash fingerprint, emitted as 16 lowercase hex chars (the
+    hex string sidesteps bit-63 signedness differences between engines)."""
+    w = _simhash_words(spark, sf_dir)
+    return w.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.format_string("%04x", F.col(f"w_{j}").cast("int"))
+                for j in range(SIMHASH_WORDS)
+            ]
+        ).alias("simhash_hex"),
     )
-    combined = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        combined = term if combined is None else combined + term
-    return bit_sums.select("doc_id", combined.cast("long").alias("simhash"))
+
+
+_SQL_SIMHASH_BANDS = "\n      UNION ALL\n".join(
+    f"      SELECT doc_id, {j} AS band_idx, w_{j} AS band_key FROM words"
+    for j in range(SIMHASH_WORDS)
+)
+
+_SQL_HAMMING = " + ".join(
+    f"bit_count(xor(wa.w_{j}, wb.w_{j}))" for j in range(SIMHASH_WORDS)
+)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""{_SQL_SIMHASH_WORDS},
+    bands AS (
+{_SQL_SIMHASH_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {_SQL_HAMMING} AS hamming
+    FROM cand
+    JOIN words wa ON wa.doc_id = doc_a
+    JOIN words wb ON wb.doc_id = doc_b
+    WHERE {_SQL_HAMMING} <= {SIMHASH_HAM_MAX}
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: candidate generation is an equi-join on
+    any of the 4 fingerprint words (lossless for hamming <= 3 by
+    pigeonhole), then an exact hamming verify via bit_count(xor) — the
+    standard web-scale near-dup pipeline, expressed as two shuffles."""
+    words = _simhash_words(spark, sf_dir)
+    stack_args = ", ".join(f"{j}, w_{j}" for j in range(SIMHASH_WORDS))
+    bands = words.selectExpr(
+        "doc_id", f"stack({SIMHASH_WORDS}, {stack_args}) AS (band_idx, band_key)"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = words.alias("wa")
+    wb = words.alias("wb")
+    hamming = None
+    for j in range(SIMHASH_WORDS):
+        term = F.bit_count(
+            F.col(f"wa.w_{j}").bitwiseXOR(F.col(f"wb.w_{j}"))
+        )
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
+        .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 # ---------------------------------------------------------------------------

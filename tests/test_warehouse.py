@@ -198,6 +198,30 @@ def test_approx_sketches_accuracy(spark):
         assert r.approx_p50_p90[0] <= r.approx_p50_p90[1]
 
 
+def test_simhash_near_pairs(spark):
+    """The banded near-pair join must equal a brute-force hamming scan over
+    the fingerprints — complete (pigeonhole: hamming <= 3 guarantees a
+    shared 16-bit word) and sound (no pair above the threshold)."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        SIMHASH_HAM_MAX, docs_simhash, simhash_near_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = simhash_near_pairs(spark, sf).collect()
+    assert pairs, "expected near-dup pairs on the documents table"
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+
+    fps = {r.doc_id: int(r.simhash_hex, 16) for r in docs_simhash(spark, sf).collect()}
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= SIMHASH_HAM_MAX:
+                expected[(a, b)] = h
+    assert found == expected
+
+
 def test_embedding_lsh_recall(spark):
     """Same-bucket probability must be far higher for true near-neighbors
     (top brute-force pairs) than for random pairs."""
