@@ -500,13 +500,15 @@ def docs_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WORD_LIST = ", ".join(f"w_{j}" for j in range(SIMHASH_WORDS))
+
 _SQL_SIMHASH_BANDS = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, {j} AS band_idx, w_{j} AS band_key FROM words"
+    f"      SELECT doc_id, {_WORD_LIST}, {j} AS band_idx, w_{j} AS band_key FROM words"
     for j in range(SIMHASH_WORDS)
 )
 
 _SQL_HAMMING = " + ".join(
-    f"bit_count(xor(wa.w_{j}, wb.w_{j}))" for j in range(SIMHASH_WORDS)
+    f"bit_count(xor(a.w_{j}, b.w_{j}))" for j in range(SIMHASH_WORDS)
 )
 
 
@@ -515,16 +517,12 @@ _SQL_HAMMING = " + ".join(
     oracle=f"""{_SQL_SIMHASH_WORDS},
     bands AS (
 {_SQL_SIMHASH_BANDS}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-           AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, {_SQL_HAMMING} AS hamming
-    FROM cand
-    JOIN words wa ON wa.doc_id = doc_a
-    JOIN words wb ON wb.doc_id = doc_b
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {_SQL_HAMMING} AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
     WHERE {_SQL_HAMMING} <= {SIMHASH_HAM_MAX}
     """,
 )
@@ -532,38 +530,38 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs: candidate generation is an equi-join on
     any of the 4 fingerprint words (lossless for hamming <= 3 by
     pigeonhole), then an exact hamming verify via bit_count(xor) — the
-    standard web-scale near-dup pipeline, expressed as two shuffles."""
+    standard web-scale near-dup pipeline, expressed as two shuffles. The
+    full word set rides along through the band join so the verify needs no
+    second join back to the fingerprints (and the plan carries the
+    fingerprint subtree twice, not four times — driver-side analysis of
+    the wide SimHash aggregate is the fixed cost here)."""
     words = _simhash_words(spark, sf_dir)
     stack_args = ", ".join(f"{j}, w_{j}" for j in range(SIMHASH_WORDS))
     bands = words.selectExpr(
-        "doc_id", f"stack({SIMHASH_WORDS}, {stack_args}) AS (band_idx, band_key)"
+        "doc_id",
+        *[f"w_{j}" for j in range(SIMHASH_WORDS)],
+        f"stack({SIMHASH_WORDS}, {stack_args}) AS (band_idx, band_key)",
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    hamming = None
+    for j in range(SIMHASH_WORDS):
+        term = F.bit_count(F.col(f"a.w_{j}").bitwiseXOR(F.col(f"b.w_{j}")))
+        hamming = term if hamming is None else hamming + term
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    wa = words.alias("wa")
-    wb = words.alias("wb")
-    hamming = None
-    for j in range(SIMHASH_WORDS):
-        term = F.bit_count(
-            F.col(f"wa.w_{j}").bitwiseXOR(F.col(f"wb.w_{j}"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
         )
-        hamming = term if hamming is None else hamming + term
-    return (
-        cand.join(wa, F.col("doc_a") == F.col("wa.doc_id"))
-        .join(wb, F.col("doc_b") == F.col("wb.doc_id"))
-        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
