@@ -140,6 +140,7 @@ def windowed_student_metrics(
             F.count(F.lit(1)).alias("count"),
             F.sum(F.coalesce(F.col("duration_seconds"), F.lit(0))).alias("duration"),
             F.sum((~F.col("is_valid")).cast("int")).alias("errors"),
+            F.avg("score").alias("avg_score"),
         )
     )
     return agg.select(
@@ -149,7 +150,40 @@ def windowed_student_metrics(
         "count",
         "duration",
         "errors",
+        "avg_score",
         ((F.col("errors") / F.greatest(F.col("count"), F.lit(1))) > 0.2).alias("anomaly"),
+    )
+
+
+def active_students_window(
+    cleaned: DataFrame,
+    window_duration: str = "5 minutes",
+    slide: str | None = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Docx "active students in the last 5 minutes": a global sliding
+    window counting distinct students. Streaming aggregation cannot do an
+    exact COUNT(DISTINCT) incrementally, so this uses the HLL sketch
+    (approx_count_distinct, default rsd 5%) — the standard scale answer;
+    the batch twin (daily_metrics) keeps the exact count for parity."""
+    win = (
+        F.window("event_timestamp", window_duration, slide)
+        if slide
+        else F.window("event_timestamp", window_duration)
+    )
+    return (
+        cleaned.withWatermark("event_timestamp", watermark)
+        .groupBy(win.alias("win"))
+        .agg(
+            F.approx_count_distinct("student_id").alias("active_students"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "active_students",
+            "n_events",
+        )
     )
 
 

@@ -97,11 +97,39 @@ def test_stream_windowed_metrics(spark, tmp_path):
     r1 = by_key[("2024-02-01 10:00:00", "STU001")]
     assert (r1["count"], r1.duration, r1.errors) == (2, 600, 1)
     assert bool(r1.anomaly) is True  # 1/2 error rate > 0.2
+    assert r1.avg_score == 80.0  # evt-003's unparseable score is ignored
     r2 = by_key[("2024-02-01 10:10:00", "STU001")]
     assert (r2["count"], r2.errors, bool(r2.anomaly)) == (1, 0, False)
+    assert r2.avg_score == 90.0
     # STU002's capped score -> error in its window
     r3 = by_key[("2024-02-01 10:00:00", "STU002")]
     assert (r3["count"], r3.errors) == (1, 1)
+
+
+def test_stream_active_students(spark, tmp_path):
+    """Docx "active students in last 5 min": global sliding-window distinct
+    count (HLL; exact at these cardinalities)."""
+    src = str(tmp_path / "events")
+    write_events(src, EVENTS_BATCH_1 + EVENTS_BATCH_2, "all.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    active = jobs.active_students_window(cleaned, slide=None)
+    q = (
+        active.writeStream.format("memory")
+        .queryName("active_sink")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM active_sink").collect()
+    by_win = {str(r.window_start): r for r in rows}
+    # 10:00 window: STU001 (x2) + STU002 -> 2 distinct, 3 events
+    assert (by_win["2024-02-01 10:00:00"].active_students,
+            by_win["2024-02-01 10:00:00"].n_events) == (2, 3)
+    # 10:10 window: STU001 + STU003 -> 2 distinct, 2 events
+    assert (by_win["2024-02-01 10:10:00"].active_students,
+            by_win["2024-02-01 10:10:00"].n_events) == (2, 2)
 
 
 def test_stream_foreach_batch_upsert(spark, tmp_path):
