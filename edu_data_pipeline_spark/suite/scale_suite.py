@@ -297,8 +297,12 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (md5-based, fully oracle-checkable)
 # ---------------------------------------------------------------------------
 
-N_HASHES = 8
-N_BANDS = 4  # 2 rows per band
+N_HASHES = 16
+N_BAND_ROWS = 4  # rows (permutations) per band
+N_BANDS = N_HASHES // N_BAND_ROWS
+# 4 bands x 4 rows: collision threshold s* = (1/b)^(1/r) ~ 0.71 — selective
+# enough that candidate volume stays near-linear at corpus scale (2-row
+# bands at s* ~ 0.35 flood the verify stage with moderate-similarity pairs).
 
 # Carter-Wegman permutation family from ONE md5 per shingle: split the
 # digest into two 32-bit halves h1/h2, permutation_i = h1 + i*h2 (fits in
@@ -343,8 +347,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return halves.groupBy("doc_id").agg(*aggs)
 
 
+def _sql_band_key(b: int) -> str:
+    return " || '|' || ".join(
+        f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS)
+    )
+
+
 _SQL_BANDS = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, {b} AS band_idx, sig_{2*b} || '|' || sig_{2*b+1} AS band_key FROM sigs"
+    f"      SELECT doc_id, {b} AS band_idx, {_sql_band_key(b)} AS band_key FROM sigs"
     for b in range(N_BANDS)
 )
 
@@ -372,7 +382,10 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
     stack_args = ", ".join(
-        f"{b}, concat(sig_{2*b}, '|', sig_{2*b+1})" for b in range(N_BANDS)
+        "{}, concat_ws('|', {})".format(
+            b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
+        )
+        for b in range(N_BANDS)
     )
     bands = sigs.selectExpr(
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
