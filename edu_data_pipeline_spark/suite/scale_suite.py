@@ -404,6 +404,75 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MINHASH_VERIFY_J = 0.5  # exact-Jaccard acceptance threshold on candidates
+
+
+@register(
+    "minhash_verified_pairs",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {MINHASH_VERIFY_J}
+    """,
+)
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline in one query: LSH banding generates
+    candidates (near-linear in corpus size), then an exact Jaccard verify
+    on candidates only — downstream cost scales with |candidates|, never
+    corpus². This is the query a 100 TB dedup job actually runs; the
+    banding/signature stages are shared with minhash_lsh_pairs."""
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    exploded = _distinct_shingles(d)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common") * 1.0 / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= MINHASH_VERIFY_J)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — 64-bit (Manku et al. width) as 4 x 16-bit words. Words double as
 # LSH bands for the near-pair query: hamming <= 3 guarantees at least one of

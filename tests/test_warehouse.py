@@ -222,6 +222,27 @@ def test_simhash_near_pairs(spark):
     assert found == expected
 
 
+def test_minhash_verified_pairs(spark):
+    """Verified pairs are a subset of the LSH candidates, all at or above
+    the acceptance threshold, and include every brute-force top pair whose
+    exact Jaccard clears it."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        MINHASH_VERIFY_J, docs_jaccard_top_pairs,
+        minhash_lsh_pairs, minhash_verified_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    verified = {(r.doc_a, r.doc_b): r.jaccard
+                for r in minhash_verified_pairs(spark, sf).collect()}
+    assert verified, "expected verified near-dup pairs"
+    cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, sf).collect()}
+    assert set(verified) <= cand
+    assert all(j >= MINHASH_VERIFY_J for j in verified.values())
+    for r in docs_jaccard_top_pairs(spark, sf).collect():
+        if r.jaccard >= MINHASH_VERIFY_J:
+            assert (r.doc_a, r.doc_b) in verified
+
+
 def test_embedding_lsh_recall(spark):
     """Same-bucket probability must be far higher for true near-neighbors
     (top brute-force pairs) than for random pairs."""
