@@ -36,7 +36,9 @@ HEADLINE = [
     # training-data scale ops
     "docs_exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "docs_simhash",
+    "simhash_near_pairs",
     "knn_bruteforce",
     # windows / sessionization / grouping sets
     "user_sessions",
