@@ -85,6 +85,71 @@ def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing: the corpus is synthetic word-salad with no PII, so the
+# query plants deterministic email/phone strings first (the same
+# dirty-value-synthesis pattern the cleaning suite uses), then redacts.
+_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RX = "\\+?[0-9]{10,}"
+
+
+@register(
+    "docs_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+               WHEN 1 THEN ' call +91987654' || format('{{:04d}}', doc_id % 10000) || ' now'
+               ELSE '' END AS base
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(base, '{_EMAIL_RX}')) AS n_emails,
+           len(regexp_extract_all(base, '{_PHONE_RX}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(base, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                              '{_PHONE_RX}', '<PHONE>', 'g')) AS scrubbed_fp,
+           length(regexp_replace(regexp_replace(base, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                                 '{_PHONE_RX}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM seeded
+    """,
+)
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table: emails and long digit runs
+    are replaced with typed placeholders, with per-doc redaction counts —
+    the standard pre-training scrub pass. Pure regexp_replace /
+    regexp_extract_all, JVM-side, embarrassingly parallel; output carries
+    an md5 fingerprint of the scrubbed text so the oracle hash check
+    covers the full redacted content without shipping long strings."""
+    d = table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    base = F.concat(
+        F.col("text"),
+        F.when(
+            k % 3 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit(" call +91987654"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(base, _EMAIL_RX, "<EMAIL>"), _PHONE_RX, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(base, F.lit(_EMAIL_RX), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(base, F.lit(_PHONE_RX), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_fp"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
+
+
 @register(
     "docs_lang_id",
     oracle="""
