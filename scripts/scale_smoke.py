@@ -31,9 +31,13 @@ def main():
         l8 = l8.unionByName(l8)  # 8x
 
     def q1(l):
-        disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # the shipped exact-cents decimal path (see suite.cents)
+        one = F.lit(1).cast("decimal(1,0)")
+        disc = l.l_extendedprice.cast("decimal(12,2)") * (
+            one - l.l_discount.cast("decimal(3,2)")
+        )
         return l.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(disc.cast("string").cast("decimal(28,10)")).alias("rev"),
+            F.sum(disc).alias("rev"),
             F.count(F.lit(1)).alias("n"),
         )
 
@@ -43,6 +47,34 @@ def main():
     rows1, rows8 = l1.count(), l8.count()
     print(f"lineitem agg: {rows1} rows in {t1}s; {rows8} rows in {t8}s; "
           f"8x data -> {round(t8 / max(t1, 1e-9), 1)}x time")
+
+    # dedup-pipeline stage: MinHash signature aggregation (shingle ->
+    # md5 -> min per permutation), the map-heavy half of near-dup
+    d1 = table(spark, sf, "documents")
+    d8 = d1
+    for _ in range(3):
+        d8 = d8.unionByName(d8)
+
+    def sigs(docs):
+        from edu_data_pipeline_spark.suite import scale_suite as ss
+        sh = ss._shingle_rows(docs)
+        m = F.md5(F.col("s"))
+        halves = sh.select(
+            "doc_id",
+            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+        return halves.groupBy("doc_id").agg(
+            *[F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}")
+              for i in range(ss.N_HASHES)]
+        )
+
+    timed(sigs(d1))  # warm
+    s1 = timed(sigs(d1))
+    s8 = timed(sigs(d8))
+    print(f"minhash signatures: {d1.count()} docs in {s1}s; "
+          f"{d8.count()} doc-rows in {s8}s; "
+          f"8x data -> {round(s8 / max(s1, 1e-9), 1)}x time")
     spark.stop()
 
 
