@@ -84,13 +84,16 @@ DEC = "decimal(28,10)"
 
 def _dec(col, exact2: bool = False):
     """String-route quantization; ``exact2`` takes the direct (cheaper)
-    cast, valid ONLY for columns whose values are exactly k/100 with
-    |value| < 1e6 (raw money columns): the binary tail of such doubles
-    starts ~digit 12, so the scale-10 rounding digit is always 0 — no tie,
-    both engines produce exactly k/100. Products/derived doubles must stay
-    on the string route."""
+    cast at scale 2, valid ONLY for columns whose values are exactly
+    k/100 (raw money columns). At scale 2 the rounding increment is
+    0.005, far above the double's half-ulp for any |value| < ~2^45, so
+    both engines land on exactly k/100 with no tie. (A scale-10 direct
+    cast is NOT safe: above 2^19 the half-ulp exceeds 0.5e-10 and Spark
+    — which rounds the shortest string repr — diverges from DuckDB —
+    which rounds the binary value — e.g. 524288.07.) Products/derived
+    doubles must stay on the string route."""
     if exact2:
-        return col.cast(DEC)
+        return col.cast("decimal(28,2)")
     return col.cast("string").cast(DEC)
 
 
@@ -118,7 +121,8 @@ def davg(col, scale: int = 4, exact2: bool = False):
 
 def cents(col, prec: int = 12):
     """Exact decimal view of a double holding k/100 money values (same
-    validity argument as ``_dec(exact2=True)``). Products of such decimals
+    scale-2 validity argument as ``_dec(exact2=True)``: tie-free for
+    |value| < ~2^45). Products of such decimals
     stay exact while total precision fits 38, so derived amounts like
     ``price * (1 - disc)`` can sum without the string-route quantization —
     and the decimal accumulator cannot overflow at any realistic scale
@@ -157,7 +161,7 @@ def sql_davg_exact(expr: str, count_expr: str, scale: int = 4) -> str:
 
 def _sql_dec(expr: str, exact2: bool = False) -> str:
     if exact2:
-        return f"CAST({expr} AS DECIMAL(28,10))"
+        return f"CAST({expr} AS DECIMAL(28,2))"
     return f"CAST(CAST({expr} AS VARCHAR) AS DECIMAL(28,10))"
 
 

@@ -12,8 +12,9 @@ Scale design notes:
   explode + hash-agg; banding turns the O(n²) pair search into an
   equi-join on band keys (the scale path). The brute-force n-gram Jaccard
   pair query is the small-scale ground truth next to it.
-- SimHash: 16-bit demo width (per-bit conditional sums stay native
-  columns); widen to 64 by repeating the same pattern.
+- SimHash: full 64-bit Manku fingerprint as 4 x 16-bit words (per-bit
+  conditional sums stay native columns); the words double as lossless
+  LSH bands for the hamming<=3 near-pair join.
 - ANN: brute-force cosine top-k is the correctness baseline (rank on the
   raw double, round only for output); the banded/label-partitioned
   variants are the scale path.
@@ -25,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import register
+from . import dround, register
 
 STOPWORDS = ("the", "a")
 
@@ -327,7 +328,7 @@ def _distinct_shingles(d: DataFrame) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+           CAST(CAST(CAST(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -354,7 +355,7 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .orderBy(jac.desc(), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
 
@@ -398,8 +399,13 @@ _SQL_MINHASH_AGGS = ",\n".join(
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sh = _shingle_rows(d)
+    return minhash_signatures_df(table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """Signature core over any (doc_id, text) DataFrame — reused by the
+    scale smoke so measured numbers always describe the shipped scheme."""
+    sh = _shingle_rows(docs)
     m = F.md5(F.col("s"))  # duplicates harmless: min over multiset == min over set
     halves = sh.select(
         "doc_id",
@@ -500,7 +506,7 @@ MINHASH_VERIFY_J = 0.5  # exact-Jaccard acceptance threshold on candidates
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+           CAST(CAST(CAST(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
     FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -508,10 +514,13 @@ MINHASH_VERIFY_J = 0.5  # exact-Jaccard acceptance threshold on candidates
     """,
 )
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full near-dup pipeline in one query: LSH banding generates
+    """The near-dup pipeline in one query: LSH banding generates
     candidates (near-linear in corpus size), then an exact Jaccard verify
     on candidates only — downstream cost scales with |candidates|, never
-    corpus². This is the query a 100 TB dedup job actually runs; the
+    corpus². Recall follows the 4x4 banding S-curve (P(candidate) =
+    1-(1-j^4)^4: ~42% at j=0.6, ~88% at 0.8, ~99% at 0.9), so pairs just
+    above the 0.5 acceptance floor are caught probabilistically while
+    strong near-dups are near-certain; tune bands/rows to move s*. The
     banding/signature stages are shared with minhash_lsh_pairs."""
     d = table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(spark, sf_dir)
@@ -534,7 +543,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= MINHASH_VERIFY_J)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", dround(jac, 4).alias("jaccard"))
     )
 
 
@@ -740,7 +749,7 @@ def _cosine(a: Column, b: Column) -> Column:
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id != 0
     )
-    SELECT vec_id, label, round(cos, 6) AS cosine
+    SELECT vec_id, label, CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
     FROM scored
     ORDER BY cos DESC, vec_id
     LIMIT 10
@@ -761,7 +770,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+        .select("vec_id", "label", dround(F.col("cos"), 6).alias("cosine"))
     )
 
 
@@ -778,7 +787,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id != 0
     )
-    SELECT label, vec_id, round(cos, 6) AS cosine
+    SELECT label, vec_id, CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) <= 3
     """,
@@ -797,7 +806,7 @@ def knn_top_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
-        .select("label", "vec_id", F.round("cos", 6).alias("cosine"))
+        .select("label", "vec_id", dround(F.col("cos"), 6).alias("cosine"))
     )
 
 
@@ -814,7 +823,7 @@ def knn_top_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_dot_product(b.emb, b.emb))) AS cos
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, same_label, round(cos, 6) AS cosine
+    SELECT vec_a, vec_b, same_label, CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
     FROM pairs
     ORDER BY cos DESC, vec_a, vec_b
     LIMIT 20
@@ -844,7 +853,7 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
-        .select("vec_a", "vec_b", "same_label", F.round("cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", "same_label", dround(F.col("cos"), 6).alias("cosine"))
     )
 
 
@@ -969,7 +978,7 @@ _IVF_COS = (
       FROM e JOIN probe ON e.label = probe.label CROSS JOIN q
       WHERE e.vec_id != 0
     )
-    SELECT vec_id, label, round(cos, 6) AS cosine
+    SELECT vec_id, label, CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
     FROM scored ORDER BY cos DESC, vec_id LIMIT 10
     """,
 )
@@ -1012,7 +1021,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
-        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+        .select("vec_id", "label", dround(F.col("cos"), 6).alias("cosine"))
     )
 
 
@@ -1097,8 +1106,25 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
-    first = e.select("emb").first()
-    dim = len(first["emb"]) if first else 0
+    # One LIMIT-1 probe for the (fixed) embedding dimension so the 24
+    # hyperplanes become literal arrays Catalyst folds once — the probe is
+    # the price of keeping the per-row path free of md5 recomputation.
+    first = (
+        e.where(F.col("emb").isNotNull())
+        .select(F.size("emb").alias("dim"))
+        .first()
+    )
+    dim = first["dim"] if first else 0
+    if dim == 0:
+        # empty/all-null table: emit no buckets (never a degenerate
+        # single-bucket table, which would explode the candidate join)
+        return (
+            e.select(
+                "vec_id", "label",
+                F.lit(0).alias("table_idx"),
+                F.lit(0).cast("int").alias("bucket"),
+            ).limit(0)
+        )
     tables = [
         e.select(
             "vec_id", "label",
@@ -1141,7 +1167,7 @@ _SQL_COS_AB = (
       JOIN e ea ON ea.vec_id = c.vec_a
       JOIN e eb ON eb.vec_id = c.vec_b
     )
-    SELECT vec_a, vec_b, round(cos, 6) AS cosine
+    SELECT vec_a, vec_b, CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
     FROM scored ORDER BY cos DESC, vec_a, vec_b LIMIT 20
     """,
 )
@@ -1181,5 +1207,5 @@ def embedding_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .select("vec_a", "vec_b", dround(F.col("cos"), 6).alias("cosine"))
     )

@@ -55,19 +55,9 @@ def main():
     for _ in range(3):
         d8 = d8.unionByName(d8)
 
-    def sigs(docs):
-        from edu_data_pipeline_spark.suite import scale_suite as ss
-        sh = ss._shingle_rows(docs)
-        m = F.md5(F.col("s"))
-        halves = sh.select(
-            "doc_id",
-            F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
-        )
-        return halves.groupBy("doc_id").agg(
-            *[F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}")
-              for i in range(ss.N_HASHES)]
-        )
+    from edu_data_pipeline_spark.suite.scale_suite import minhash_signatures_df
+
+    sigs = minhash_signatures_df
 
     timed(sigs(d1))  # warm
     s1 = timed(sigs(d1))
