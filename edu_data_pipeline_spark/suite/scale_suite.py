@@ -547,6 +547,103 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    ), edges AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {MINHASH_VERIFY_J}
+    ), sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+      UNION SELECT doc_id, doc_id FROM documents
+    ), closure AS (
+      WITH RECURSIVE walk(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
+      )
+      SELECT src, dst FROM walk
+    )
+    SELECT src AS doc_id, min(dst) AS component,
+           (src = min(dst)) AS is_representative
+    FROM closure GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup step: connected components over the verified
+    near-dup graph, keeping min(doc_id) as each cluster's representative.
+    Iterative min-label propagation — each round every vertex takes the
+    minimum label in its neighborhood, converging in O(diameter) rounds
+    (the driver loops; each round is one shuffle, the standard Spark
+    pattern for Pregel-style algorithms). The DuckDB oracle computes the
+    same fixpoint via a recursive-CTE transitive closure — tractable at
+    oracle scale, while the Spark path scales to corpus size."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    edges = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # freeze the (expensive) LSH+verify lineage once
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(32):  # diameter bound; tiny clusters converge in 2-3
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint()  # cut lineage growth per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_representative")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash — 64-bit (Manku et al. width) as 4 x 16-bit words. Words double as
 # LSH bands for the near-pair query: hamming <= 3 guarantees at least one of

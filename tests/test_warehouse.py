@@ -247,6 +247,29 @@ def test_minhash_verified_pairs(spark):
     assert hit / len(strong) >= 0.9
 
 
+def test_dedup_components(spark):
+    """Every doc gets a component; both endpoints of every verified edge
+    share one; the representative is the minimum doc_id of its cluster."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        dedup_components, minhash_verified_pairs,
+    )
+    from edu_data_pipeline_spark.sources.testdata import table
+
+    sf = "/root/testdata/sf0.001"
+    comp = {r.doc_id: r.component for r in dedup_components(spark, sf).collect()}
+    n_docs = table(spark, sf, "documents").count()
+    assert len(comp) == n_docs
+    edges = minhash_verified_pairs(spark, sf).collect()
+    assert edges
+    for r in edges:
+        assert comp[r.doc_a] == comp[r.doc_b]
+    clusters: dict[int, list] = {}
+    for doc, c in comp.items():
+        clusters.setdefault(c, []).append(doc)
+    for c, members in clusters.items():
+        assert c == min(members)
+
+
 def test_embedding_lsh_recall(spark):
     """Same-bucket probability must be far higher for true near-neighbors
     (top brute-force pairs) than for random pairs."""
