@@ -25,6 +25,7 @@ from . import (
     sql_cents,
     sql_davg,
     sql_davg_exact,
+    sql_dround,
     sql_dsum,
     sql_dsum_exact,
 )
@@ -584,16 +585,16 @@ def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle=f"""
     WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE OR
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000 OR
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id,
@@ -609,10 +610,17 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Gap compared in exact microseconds on BOTH engines (second-truncated
+    # longs vs INTERVAL would split (1800, 1801)s gaps differently); the
+    # running sum tie-breaks on event_id on BOTH engines, and the oracle
+    # casts its HUGEINT window sum to BIGINT so the driver's pandas
+    # canonicalizer sees int64 on both sides.
     is_new = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
     ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = e.withColumn("is_new", is_new).withColumn(
@@ -633,21 +641,23 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
+           {sql_dround('quantile_cont(value, 0.5)', 4)} AS p50,
+           {sql_dround('quantile_cont(value, 0.9)', 4)} AS p90,
+           {sql_dround('quantile_cont(value, 0.99)', 4)} AS p99
     FROM events
     GROUP BY event_type
     """,
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    # dround (string-route quantization), not F.round: engines disagree on
+    # round(double, n) at shortest-repr ties.
     return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        dround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        dround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        dround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -845,10 +855,13 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("approx_user_stats", oracle=None)  # rows-only: engine-specific sketches
 def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    # Scalar percentile columns (NOT one ArrayType column): the driver's
+    # pandas canonicalizer cannot hash list cells.
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
-        F.percentile_approx("value", [0.5, 0.9], 10000).alias("approx_p50_p90"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
     )
 
 
