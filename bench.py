@@ -36,6 +36,7 @@ HEADLINE = [
     # training-data scale ops
     "docs_exact_dedup",
     "minhash_lsh_pairs",
+    "minhash_lsh_stopfiltered",
     "minhash_verified_pairs",
     "docs_simhash",
     "simhash_near_pairs",
@@ -60,7 +61,9 @@ def main() -> None:
     registry["pricing_summary"].fn(spark, sf_dir).count()
     for name in names:
         best = None
-        for _ in range(2):  # min-of-2: damp JIT/GC variance
+        # min-of-3: the machine's noise band is ~±30%, so min-of-2 left
+        # round-over-round regressions unattributable (VERDICT r1 #8)
+        for _ in range(3):
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -66,11 +66,18 @@ class BatchProgressListener:
 
             def onQueryProgress(self, event):
                 p = event.progress
+                try:
+                    duration = (p.durationMs or {}).get("triggerExecution")
+                except Exception:
+                    duration = None
                 outer.batches.append(
                     {
                         "batch_id": p.batchId,
                         "num_input_rows": p.numInputRows,
                         "sink": str(p.sink.description) if p.sink else None,
+                        "batch_duration_seconds": (
+                            duration / 1000.0 if duration is not None else None
+                        ),
                     }
                 )
 

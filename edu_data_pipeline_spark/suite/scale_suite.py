@@ -405,8 +405,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     """Signature core over any (doc_id, text) DataFrame — reused by the
     scale smoke so measured numbers always describe the shipped scheme."""
-    sh = _shingle_rows(docs)
-    m = F.md5(F.col("s"))  # duplicates harmless: min over multiset == min over set
+    return _sigs_from_shingle_rows(_shingle_rows(docs))
+
+
+def _sigs_from_shingle_rows(sh: DataFrame) -> DataFrame:
+    """MinHash signatures from (doc_id, s) shingle rows (dups harmless:
+    min over multiset == min over set)."""
+    m = F.md5(F.col("s"))
     halves = sh.select(
         "doc_id",
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
@@ -416,6 +421,33 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
         F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}") for i in range(N_HASHES)
     ]
     return halves.groupBy("doc_id").agg(*aggs)
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banded candidate pairs from a signature DataFrame: stack the
+    bands, equi-join on (band_idx, band_key) — the near-linear candidate
+    generator shared by every MinHash query."""
+    stack_args = ", ".join(
+        "{}, concat_ws('|', {})".format(
+            b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
+        )
+        for b in range(N_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _sql_band_key(b: int) -> str:
@@ -451,28 +483,93 @@ _SQL_BANDS = "\n      UNION ALL\n".join(
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(spark, sf_dir)
-    stack_args = ", ".join(
-        "{}, concat_ws('|', {})".format(
-            b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
+    return _band_pairs(minhash_signatures(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Stop-shingle mitigation (SCALE.md's own caveat): on templated corpora,
+# boilerplate shingles shared by a large fraction of documents dominate
+# signatures and inflate LSH candidates. Standard web-dedup fix: drop
+# shingles whose document frequency exceeds a threshold BEFORE hashing.
+# ---------------------------------------------------------------------------
+
+STOP_DF_FLOOR = 5  # never drop shingles seen in <= 5 docs
+# threshold = greatest(floor, n_docs div 100), i.e. ~1% document frequency
+# (integer division so both engines compute the identical cutoff)
+
+
+def _stop_filtered_shingles(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, s) with >1%-document-frequency shingles removed.
+
+    The stop list is vocabulary-bounded and tiny (only shingles in >1% of
+    a corpus), so it broadcasts; the anti-join is shuffle-free on the big
+    side. The df count itself is one linear groupBy — the same shuffle
+    family the signature aggregation already pays."""
+    ex = _distinct_shingles(d)
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        dfreq.crossJoin(F.broadcast(total))
+        .where(
+            F.col("df_docs")
+            > F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100"))
         )
-        for b in range(N_BANDS)
+        .select("s")
     )
-    bands = sigs.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
+    return ex.join(F.broadcast(stop), "s", "left_anti")
+
+
+_SQL_KEPT_SHINGLES = f"""
+    dfreq AS (
+      SELECT s, count(*) AS df_docs FROM exploded GROUP BY s
+    ), tot AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), kept AS (
+      SELECT e.doc_id, e.s
+      FROM exploded e JOIN dfreq d ON e.s = d.s CROSS JOIN tot
+      WHERE d.df_docs <= greatest({STOP_DF_FLOOR}, n_docs // 100)
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+"""
+
+
+@register(
+    "minhash_lsh_stopfiltered",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ),
+{_SQL_KEPT_SHINGLES},
+    halves AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(s), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(md5(s), 9, 8) AS UINTEGER) AS BIGINT) AS h2
+      FROM kept
+    ),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
     )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with >1%-df stop shingles dropped before signing.
+
+    Signatures then describe the distinctive content of each document, so
+    template-only collisions vanish while genuinely similar pairs (which
+    share distinctive shingles too) keep colliding — candidate volume
+    drops with recall held (locked by tests/test_stop_shingles.py). The
+    verify stage still scores FULL shingle sets, so accepted pairs carry
+    the true Jaccard."""
+    d = table(spark, sf_dir, "documents")
+    return _band_pairs(_sigs_from_shingle_rows(_stop_filtered_shingles(d)))
 
 
 MINHASH_VERIFY_J = 0.5  # exact-Jaccard acceptance threshold on candidates

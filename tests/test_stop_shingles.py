@@ -1,0 +1,63 @@
+"""Stop-shingle mitigation (VERDICT r1 #7): dropping >1%-document-frequency
+shingles before MinHash must cut candidate volume on the templated corpus
+while retaining every verified near-dup pair (j >= 0.5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from edu_data_pipeline_spark.suite import load_all
+
+REGISTRY = load_all()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# The 1% df threshold only bites where the corpus actually has >1%-df
+# shingles: at sf0.001 the floor (5 docs) drops 45 shingles but no band
+# collision changes; at sf0.01 (500 docs, threshold 5) it measurably cuts
+# candidates 166 -> 152. The reduction assertion therefore runs at sf0.01.
+SF_REDUCTION = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def pair_sets(spark):
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["minhash_lsh_pairs"].fn(spark, SF_REDUCTION).collect()
+    }
+    filtered = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["minhash_lsh_stopfiltered"].fn(spark, SF_REDUCTION).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["minhash_verified_pairs"].fn(spark, SF_REDUCTION).collect()
+    }
+    return full, filtered, verified
+
+
+def test_candidate_volume_drops(pair_sets):
+    full, filtered, _ = pair_sets
+    assert len(filtered) < len(full), (
+        f"stop-filtering should reduce candidates: {len(filtered)} vs {len(full)}"
+    )
+
+
+def test_verified_pairs_retained(pair_sets):
+    """Every true near-dup (exact Jaccard >= 0.5 on FULL shingle sets)
+    must still be generated as a candidate after stop-filtering."""
+    _, filtered, verified = pair_sets
+    missing = verified - filtered
+    assert not missing, f"stop-filtering lost verified near-dups: {sorted(missing)}"
+
+
+def test_stop_threshold_is_integer_exact(spark):
+    """The df cutoff must be computed with integer division on both
+    engines (greatest(5, n_docs div 100)) — no float rounding splits."""
+    from edu_data_pipeline_spark.parity import compare_query, duck_connection
+
+    con = duck_connection(SF_DIR)
+    res = compare_query(
+        spark, con, REGISTRY["minhash_lsh_stopfiltered"], SF_DIR
+    )
+    assert res.ok, res.problems

@@ -194,8 +194,9 @@ def test_approx_sketches_accuracy(spark):
     assert rows
     for r in rows:
         assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
-        assert len(r.approx_p50_p90) == 2
-        assert r.approx_p50_p90[0] <= r.approx_p50_p90[1]
+        # scalar percentile columns (the array form crashed the driver's
+        # canonicalizer, VERDICT r1 #2)
+        assert r.approx_p50 <= r.approx_p90
 
 
 def test_simhash_near_pairs(spark):
