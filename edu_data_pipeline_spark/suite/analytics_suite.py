@@ -923,3 +923,66 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value"), exact2=True).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join (bucketed): clicks within a time window before each purchase
+# ---------------------------------------------------------------------------
+
+RANGE_WINDOW_US = 1_800_000_000  # 30 minutes in microseconds
+
+
+@register(
+    "events_range_join",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id, p.user_id,
+           count(c.click_ts) AS n_clicks_30m
+    FROM purch p LEFT JOIN clicks c
+      ON c.user_id = p.user_id
+     AND epoch_us(c.click_ts) >= epoch_us(p.ts) - {RANGE_WINDOW_US}
+     AND epoch_us(c.click_ts) <  epoch_us(p.ts)
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join done the scale-correct way: bucketize time into
+    window-sized bins, equi-join on (user_id, bucket) with each probe row
+    expanded to its two candidate bins, then apply the exact range
+    predicate. A naive theta join (the oracle's formulation) degenerates
+    to per-key cartesian at scale; the bucketed plan is a plain shuffled
+    equi-join whose fan-out is bounded by events-per-bucket. Lossless:
+    a click in [ts-30m, ts) lands in bucket(ts)-1 or bucket(ts) exactly
+    (floor is monotone over a window-sized bin)."""
+    e = table(spark, sf_dir, "events")
+    # exact integer bucketing (div, not double division) so the
+    # two-bucket pigeonhole is provably lossless at any epoch
+    bucket = F.expr(f"unix_micros(ts) div {RANGE_WINDOW_US}")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        bucket.alias("c_bucket"),
+    )
+    probe = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", bucket.alias("pb"))
+        .withColumn("p_bucket", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    )
+    in_range = (
+        (F.unix_micros("click_ts") >= F.unix_micros("ts") - RANGE_WINDOW_US)
+        & (F.unix_micros("click_ts") < F.unix_micros("ts"))
+    )
+    joined = probe.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("p_bucket") == F.col("c_bucket"))
+        & in_range,
+        "left",
+    )
+    return joined.groupBy(
+        F.col("event_id").alias("purchase_event_id"), "user_id"
+    ).agg(F.count("click_ts").alias("n_clicks_30m"))

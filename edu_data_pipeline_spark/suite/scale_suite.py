@@ -644,9 +644,10 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_components",
-    oracle=f"""
+# Shared CTE chain: shingles -> signatures -> LSH candidates -> verified
+# edges -> recursive-CTE transitive closure -> per-doc component label.
+# Reused by dedup_components and dedup_keep_best.
+_SQL_COMPONENT_CTES = f"""
     WITH sh AS ({_SQL_SHINGLES}),
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
@@ -686,10 +687,18 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w.src, s.dst FROM walk w JOIN sym s ON w.dst = s.src
       )
       SELECT src, dst FROM walk
+    ), comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM closure GROUP BY src
     )
-    SELECT src AS doc_id, min(dst) AS component,
-           (src = min(dst)) AS is_representative
-    FROM closure GROUP BY src
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""{_SQL_COMPONENT_CTES}
+    SELECT doc_id, component, (doc_id = component) AS is_representative
+    FROM comp
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1402,4 +1411,214 @@ def embedding_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
         .select("vec_a", "vec_b", dround(F.col("cos"), 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix construction: deterministic sampling, splits, filter funnel,
+# decontamination, cluster-representative selection. These are the ops a
+# production LLM-data pipeline runs AFTER dedup/quality scoring to
+# assemble the actual training set. All hash-deterministic (md5), so every
+# one is exactly reproducible and DuckDB-oracle-checkable — no rand().
+# ---------------------------------------------------------------------------
+
+
+def _hash_bucket(col: Column, n: int) -> Column:
+    """Deterministic bucket in [0, n): first 8 md5 hex chars mod n.
+    Content-addressed (id-based) so the assignment survives repartitioning,
+    re-runs, and engine changes — the property rand() sampling lacks."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long") % n
+    )
+
+
+def _sql_hash_bucket(expr: str, n: int) -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) "
+        f"AS UINTEGER) AS BIGINT) % {n}"
+    )
+
+
+@register(
+    "docs_hash_sample",
+    oracle=f"""
+    SELECT doc_id, source, lang, n_chars
+    FROM documents
+    WHERE {_sql_hash_bucket('doc_id', 10)} = 0
+    """,
+)
+def docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample by hash bucket. The standard way
+    to carve dev subsets out of a 100 TB corpus: pure filter (no shuffle),
+    pushes down past nothing it needs, and the same docs are selected on
+    every engine and every run."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(_hash_bucket(F.col("doc_id"), 10) == 0).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+@register(
+    "docs_split_assign",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_sql_hash_bucket('doc_id', 100)} < 90 THEN 'train'
+                WHEN {_sql_hash_bucket('doc_id', 100)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by hash bucket — stable across
+    runs and engines, so no document ever migrates between splits when
+    the corpus grows (bucket is a pure function of doc_id)."""
+    d = table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), 100)
+    return d.select(
+        "doc_id",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+FUNNEL_MIN_CHARS = 150
+FUNNEL_MAX_CHARS = 2000
+FUNNEL_MIN_TOKENS = 25
+
+
+@register(
+    "docs_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id,
+             lang = 'en' AS f_lang,
+             n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS} AS f_len,
+             len(string_split(trim(text), ' ')) >= {FUNNEL_MIN_TOKENS} AS f_tok
+      FROM documents
+    ), counts AS (
+      SELECT count(*) AS n0,
+             count(*) FILTER (WHERE f_lang) AS n1,
+             count(*) FILTER (WHERE f_lang AND f_len) AS n2,
+             count(*) FILTER (WHERE f_lang AND f_len AND f_tok) AS n3
+      FROM flags
+    )
+    SELECT stage, n_docs,
+           CAST(CAST(CAST(n_docs * 1.0 / n0 AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE)
+             AS survival_rate
+    FROM (
+      SELECT 'all' AS stage, n0 AS n_docs, n0 FROM counts
+      UNION ALL SELECT 'lang_en', n1, n0 FROM counts
+      UNION ALL SELECT 'length', n2, n0 FROM counts
+      UNION ALL SELECT 'min_tokens', n3, n0 FROM counts
+    )
+    """,
+)
+def docs_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel: how many documents survive each cumulative
+    filter stage (language -> length band -> minimum tokens). ONE scan,
+    one tiny aggregate — conditional counts, not four filtered passes —
+    then the 4 stage rows are unpivoted from the single result row."""
+    d = table(spark, sf_dir, "documents")
+    f_lang = F.col("lang") == "en"
+    f_len = F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
+    f_tok = F.size(_tokens(F.col("text"))) >= FUNNEL_MIN_TOKENS
+    counts = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.count(F.when(f_lang, 1)).alias("n1"),
+        F.count(F.when(f_lang & f_len, 1)).alias("n2"),
+        F.count(F.when(f_lang & f_len & f_tok, 1)).alias("n3"),
+    )
+    stages = counts.selectExpr(
+        "n0",
+        "stack(4, 'all', n0, 'lang_en', n1, 'length', n2, 'min_tokens', n3)"
+        " AS (stage, n_docs)",
+    )
+    return stages.select(
+        "stage",
+        "n_docs",
+        dround(F.col("n_docs") * 1.0 / F.col("n0"), 4).alias("survival_rate"),
+    )
+
+
+DECON_EVAL_SOURCE = "src0"  # stand-in benchmark/eval source
+
+
+@register(
+    "docs_decontamination",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), tagged AS (
+      SELECT e.doc_id, e.s, d.source FROM exploded e
+      JOIN documents d ON d.doc_id = e.doc_id
+    ), eval_sh AS (
+      SELECT DISTINCT s FROM tagged WHERE source = '{DECON_EVAL_SOURCE}'
+    )
+    SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_shingles
+    FROM tagged t JOIN eval_sh ev ON t.s = ev.s
+    WHERE t.source <> '{DECON_EVAL_SOURCE}'
+    GROUP BY t.doc_id
+    """,
+)
+def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: training documents sharing any
+    word-3-gram with the eval source, with the shared-shingle count.
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    distinct shingle set BROADCASTS and the screen is a map-side semi
+    join over the training corpus — one linear pass, no shuffle on the
+    big side (the standard decontamination pass before training)."""
+    d = table(spark, sf_dir, "documents")
+    # source rides a co-partitioned shuffle join (doc_id) — NOT a
+    # broadcast: documents is the 100 TB side. Only the eval shingle set
+    # (tiny by construction) broadcasts.
+    ex = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    eval_sh = (
+        ex.where(F.col("source") == DECON_EVAL_SOURCE).select("s").distinct()
+    )
+    train = ex.where(F.col("source") != DECON_EVAL_SOURCE)
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("s").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""{_SQL_COMPONENT_CTES}
+    SELECT component, doc_id AS representative, cluster_size,
+           n_chars AS rep_n_chars
+    FROM (
+      SELECT c.component, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS cluster_size
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection the way production dedup actually
+    keeps documents: per near-dup component, keep the HIGHEST-QUALITY
+    member (longest text, doc_id tie-break) — not the arbitrary min-id
+    that dedup_components reports. One co-partitioned join (doc_id) plus
+    one window over components; component partitions are near-dup
+    clusters, which are small by construction, so the window never sees
+    a skewed partition at any corpus size."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sized = joined.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component"))
+    )
+    return sized.where(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("representative"),
+        "cluster_size",
+        F.col("n_chars").alias("rep_n_chars"),
     )

@@ -88,3 +88,59 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "20240105" in plan  # the filter reached partition pruning
     n_total = spark.read.parquet(path).count()
     assert 0 < one_day.count() < n_total
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """events_range_join must compile to a shuffled equi-join on
+    (user, bucket) — never a nested-loop/cartesian theta join (the naive
+    range-join plan that degenerates at scale)."""
+    from edu_data_pipeline_spark.suite import load_all
+
+    df = load_all()["events_range_join"].fn(spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketed two-bin expansion equals the naive theta join exactly."""
+    import pyspark.sql.functions as F
+    from edu_data_pipeline_spark.suite import load_all
+    from edu_data_pipeline_spark.sources.testdata import table as t
+
+    bucketed = {
+        (r["purchase_event_id"], r["n_clicks_30m"])
+        for r in load_all()["events_range_join"].fn(spark, SF_DIR).collect()
+    }
+    e = t(spark, SF_DIR, "events")
+    clicks = e.where("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purch = e.where("event_type = 'purchase'").select("user_id", "event_id", "ts")
+    naive = (
+        purch.join(
+            clicks,
+            (F.col("user_id") == F.col("cu"))
+            & (F.unix_micros("cts") >= F.unix_micros("ts") - 1_800_000_000)
+            & (F.unix_micros("cts") < F.unix_micros("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("cts").alias("n"))
+    )
+    assert {(r["event_id"], r["n"]) for r in naive.collect()} == bucketed
+
+
+def test_hash_split_is_stable_partition(spark):
+    """docs_split_assign: every doc gets exactly one split; proportions are
+    near 90/5/5; the assignment is a pure function of doc_id (re-running
+    yields identical rows)."""
+    from edu_data_pipeline_spark.suite import load_all
+
+    fn = load_all()["docs_split_assign"].fn
+    a = {(r["doc_id"], r["split"]) for r in fn(spark, SF_DIR).collect()}
+    b = {(r["doc_id"], r["split"]) for r in fn(spark, SF_DIR).collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for _, s in a if s == "train")
+    assert 0.8 * n <= train <= 0.97 * n
