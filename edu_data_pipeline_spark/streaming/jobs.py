@@ -297,3 +297,53 @@ def dedup_event_stream(cleaned: DataFrame, watermark: str = "1 hour") -> DataFra
     return cleaned.withWatermark("event_timestamp", watermark).dropDuplicates(
         ["event_id"]
     )
+
+
+def enrich_event_stream(cleaned: DataFrame) -> DataFrame:
+    """Per-event AI-enrichment stub for the ``processed.enriched.events``
+    topic (reference publishes enriched events between cleaning and
+    alerting). Deterministic A9 risk columns — streaming events are by
+    definition recent activity, and events carry no payment state, so the
+    score reduces to the completion term; the full rule stays shared with
+    the batch enricher (operators/transform.risk_score)."""
+    from ..operators.transform import risk_score
+
+    score, bucket = risk_score(
+        F.lit(True),
+        F.col("completion_percentage").cast("double"),
+        F.lit("completed"),
+    )
+    return cleaned.withColumn("ai_risk_score", score.cast("double")).withColumn(
+        "ai_risk_category", bucket
+    )
+
+
+def session_metrics_stream(
+    cleaned: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization: per-student gap-based sessions via
+    ``session_window`` — the streaming twin of the batch ``user_sessions``
+    query (same 30-minute gap rule). State is one open session per
+    student in the state store; the watermark closes sessions once event
+    time passes ``gap`` beyond their last event, so append-mode sinks see
+    each session exactly once."""
+    win = F.session_window("event_timestamp", gap)
+    return (
+        cleaned.withWatermark("event_timestamp", watermark)
+        .groupBy(win.alias("session"), F.col("student_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("duration_seconds"), F.lit(0))).alias("duration"),
+            F.avg("score").alias("avg_score"),
+        )
+        .select(
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "student_id",
+            "n_events",
+            "duration",
+            "avg_score",
+        )
+    )

@@ -214,16 +214,31 @@ def kafka_topic_writer(
 
 
 def build_topic_routing(
-    cleaned: DataFrame, dlq: DataFrame, alerts: DataFrame, cfg: KafkaConfig
+    cleaned: DataFrame,
+    dlq: DataFrame,
+    alerts: DataFrame,
+    cfg: KafkaConfig,
+    enriched: DataFrame | None = None,
 ) -> list[tuple[str, str, DataFrame]]:
     """The reference's consumer fan-out as (sink_name, topic, records):
-    cleaned -> processed.cleaned.events, anomalies -> alerts.anomalies,
-    failures -> dlq.failed.events (kafka/streaming.py:104-114)."""
-    return [
+    cleaned -> processed.cleaned.events, enriched ->
+    processed.enriched.events, anomalies -> alerts.anomalies, failures ->
+    dlq.failed.events (kafka/streaming.py:104-114)."""
+    routes = [
         ("cleaned-events", cfg.cleaned_topic, to_kafka_records(cleaned, "event_id")),
         ("anomaly-alerts", cfg.alerts_topic, to_kafka_records(alerts, "student_id")),
         ("dlq-events", cfg.dlq_topic, dlq),
     ]
+    if enriched is not None:
+        routes.insert(
+            1,
+            (
+                "enriched-events",
+                cfg.enriched_topic,
+                to_kafka_records(enriched, "event_id"),
+            ),
+        )
+    return routes
 
 
 def start_kafka_pipeline(spark: SparkSession, cfg: KafkaConfig):
@@ -234,16 +249,24 @@ def start_kafka_pipeline(spark: SparkSession, cfg: KafkaConfig):
     broker-independent, unit-tested layer; this function only glues the
     connector on both ends.
     """
-    from .jobs import clean_event_stream, route_streams, windowed_student_metrics
+    from .jobs import (
+        clean_event_stream,
+        enrich_event_stream,
+        route_streams,
+        windowed_student_metrics,
+    )
 
     parsed = read_kafka_events(spark, cfg)
     bad = dlq_records(parsed)
     cleaned = clean_event_stream(parsed.where(F.col("parse_ok")))
     good, invalid = route_streams(cleaned)
+    enriched = enrich_event_stream(good)
     metrics = windowed_student_metrics(good)
     alerts = metrics.where(F.col("anomaly"))
     queries = []
-    for sink_name, topic, records in build_topic_routing(good, bad, alerts, cfg):
+    for sink_name, topic, records in build_topic_routing(
+        good, bad, alerts, cfg, enriched=enriched
+    ):
         queries.append(
             kafka_topic_writer(records, cfg, topic, sink_name).start()
         )

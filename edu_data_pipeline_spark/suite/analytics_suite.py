@@ -986,3 +986,44 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.col("event_id").alias("purchase_event_id"), "user_id"
     ).agg(F.count("click_ts").alias("n_clicks_30m"))
+
+
+# ---------------------------------------------------------------------------
+# Window-function family: percent_rank / cume_dist / ntile / first_value /
+# lag in one pass (rank analytics per user)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_value_ranks",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           {sql_dround('percent_rank() OVER w', 4)} AS pct_rank,
+           {sql_dround('cume_dist() OVER w', 4)} AS cum_dist,
+           ntile(4) OVER w AS quartile,
+           first_value(event_id) OVER w AS min_value_event,
+           lag(value) OVER w AS prev_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-analytics window family over one partitioned sort:
+    percent_rank, cume_dist, ntile quartiles, first_value, and lag all
+    share a single (user_id, value, event_id) window, so Catalyst plans
+    ONE shuffle + one sort for all five. Partition count grows with the
+    user population — no global sort, no skew pile-up. Ordering
+    tie-breaks on event_id so every function is deterministic on both
+    engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        dround(F.percent_rank().over(w), 4).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 4).alias("cum_dist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_id").over(w).alias("min_value_event"),
+        F.lag("value").over(w).alias("prev_value"),
+    )

@@ -135,15 +135,22 @@ def test_to_kafka_records_roundtrip(spark):
 
 
 def test_topic_routing_covers_reference_topics(spark):
+    from edu_data_pipeline_spark.streaming.jobs import enrich_event_stream
+
     cfg = KafkaConfig()
     batch = _kafka_batch(spark, [GOOD_EVENT, "{not json"])
     parsed = parse_kafka_events(batch)
     cleaned = parsed.where("parse_ok")
     alerts = cleaned.withColumn("anomaly", F.lit(True))
-    routing = build_topic_routing(cleaned, dlq_records(parsed), alerts, cfg)
+    enriched = enrich_event_stream(cleaned)
+    routing = build_topic_routing(
+        cleaned, dlq_records(parsed), alerts, cfg, enriched=enriched
+    )
     topics = {topic for _, topic, _ in routing}
+    # all four OUTPUT topics of the reference's five (raw is the input)
     assert topics == {
         "processed.cleaned.events",
+        "processed.enriched.events",
         "alerts.anomalies",
         "dlq.failed.events",
     }
@@ -151,6 +158,22 @@ def test_topic_routing_covers_reference_topics(spark):
     assert len(names) == len(set(names))
     for _, _, records in routing:
         assert set(records.columns) == {"key", "value"}
+
+
+def test_enriched_records_carry_risk_columns(spark):
+    import json as _json
+
+    from edu_data_pipeline_spark.streaming.jobs import enrich_event_stream
+    from edu_data_pipeline_spark.streaming.kafka_io import to_kafka_records
+
+    batch = _kafka_batch(spark, [GOOD_EVENT])
+    enriched = enrich_event_stream(parse_kafka_events(batch).where("parse_ok"))
+    rec = to_kafka_records(
+        enriched.select("event_id", "ai_risk_score", "ai_risk_category"), "event_id"
+    ).collect()[0]
+    payload = _json.loads(rec["value"])
+    # completion 50% >= 30 -> no +25; recent + paid -> score 0, Low
+    assert payload == {"ai_risk_score": 0.0, "ai_risk_category": "Low"}
 
 
 def test_kafka_availability_probe(spark):

@@ -230,3 +230,52 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     ).collect()
     assert len(rows) == 1  # the 10:00 window emitted exactly once
     assert rows[0]["count"] == 2  # e4 (late) was dropped, not merged
+
+
+def test_stream_session_windows(spark, tmp_path):
+    """Gap-based streaming sessions (session_window): events 2-3 min apart
+    coalesce into one session per student; the 10-min-later event opens a
+    second session only if beyond the gap (here gap=5 min splits 10:00-03
+    from 10:10-11)."""
+    src = str(tmp_path / "events")
+    write_events(src, EVENTS_BATCH_1 + EVENTS_BATCH_2, "all.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    sessions = jobs.session_metrics_stream(cleaned, gap="5 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_sink").collect()
+    by_key = {(r.student_id, str(r.session_start)): r for r in rows}
+    # STU001: 10:00 + 10:03 merge (3-min gap < 5), 10:10 is a new session
+    s1 = by_key[("STU001", "2024-02-01 10:00:00")]
+    assert s1.n_events == 2
+    assert str(s1.session_end) == "2024-02-01 10:08:00"  # last event + gap
+    s2 = by_key[("STU001", "2024-02-01 10:10:00")]
+    assert s2.n_events == 1
+    assert s2.avg_score == 90.0
+
+
+def test_stream_enrichment_columns(spark, tmp_path):
+    src = str(tmp_path / "events")
+    write_events(src, EVENTS_BATCH_1, "b1.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    enriched = jobs.enrich_event_stream(cleaned)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enr_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.event_id: r for r in spark.sql("SELECT * FROM enr_sink").collect()}
+    # evt-001: completion 50 -> risk 0/Low; evt-003: completion 10 -> +25 Medium
+    assert (rows["evt-001"].ai_risk_score, rows["evt-001"].ai_risk_category) == (0.0, "Low")
+    assert (rows["evt-003"].ai_risk_score, rows["evt-003"].ai_risk_category) == (25.0, "Medium")
