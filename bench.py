@@ -44,6 +44,11 @@ HEADLINE = [
     # windows / sessionization / grouping sets
     "user_sessions",
     "revenue_rollup",
+    "user_value_ranks",
+    # round-2 additions: range join, having+join-back, decontamination
+    "events_range_join",
+    "large_orders",
+    "docs_decontamination",
 ]
 
 

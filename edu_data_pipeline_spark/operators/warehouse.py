@@ -216,3 +216,82 @@ def build_fact_enrollments(
         F.lit(None).cast("double").alias("avg_score"),
         F.lit(0).alias("total_time_spent_minutes"),
     )
+
+
+def scd2_apply(
+    current: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    tracked_cols: list[str],
+    batch_ts: Column,
+    far_future: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge (history-keeping upsert).
+
+    Extends the reference's last-write-wins upsert (db.py:45-65) with
+    version history: instead of overwriting a changed dimension row, the
+    open version is CLOSED (``valid_to`` = batch_ts, ``is_current`` =
+    false) and a new open version is appended. Unchanged rows pass
+    through untouched; brand-new keys open their first version.
+
+    Columns added/managed: ``valid_from``, ``valid_to``, ``is_current``.
+    Change detection compares ``tracked_cols`` null-safely.
+
+    Scale: one co-partitioned join of open versions against the update
+    batch (both keyed on the natural key) plus a union — the same
+    shuffle family as merge_upsert; history rows (is_current = false)
+    are never read by the join, so the working set stays at one row per
+    live key regardless of history depth. On Delta this maps to the
+    two-action MERGE (update-close + insert) with identical semantics.
+    """
+    far = F.lit(far_future).cast("timestamp")
+    fresh = updates.withColumn("valid_from", batch_ts).withColumn(
+        "valid_to", far
+    ).withColumn("is_current", F.lit(True))
+    if current is None:
+        return fresh
+
+    open_rows = current.where(F.col("is_current"))
+    closed_rows = current.where(~F.col("is_current"))
+
+    cond = None
+    for k in keys:
+        clause = open_rows[k].eqNullSafe(updates[k])
+        cond = clause if cond is None else (cond & clause)
+
+    changed = None
+    for c in tracked_cols:
+        diff = ~open_rows[c].eqNullSafe(updates[c])
+        changed = diff if changed is None else (changed | diff)
+
+    joined = open_rows.alias("cur").join(updates.alias("upd"), cond, "full_outer")
+    upd_key_present = F.col(f"upd.{keys[0]}").isNotNull() if keys else F.lit(True)
+    cur_key_present = F.col(f"cur.{keys[0]}").isNotNull() if keys else F.lit(True)
+
+    # 1. open rows whose key is absent from the batch, or matched-unchanged
+    untouched = joined.where(
+        cur_key_present & (~upd_key_present | ~F.coalesce(changed, F.lit(False)))
+    ).select("cur.*")
+    # 2. matched-and-changed open rows -> closed
+    closed_now = (
+        joined.where(cur_key_present & upd_key_present & F.coalesce(changed, F.lit(False)))
+        .select("cur.*")
+        .withColumn("valid_to", batch_ts)
+        .withColumn("is_current", F.lit(False))
+    )
+    # 3. new versions: changed keys + brand-new keys
+    opened = (
+        joined.where(
+            upd_key_present & (~cur_key_present | F.coalesce(changed, F.lit(False)))
+        )
+        .select("upd.*")
+        .withColumn("valid_from", batch_ts)
+        .withColumn("valid_to", far)
+        .withColumn("is_current", F.lit(True))
+    )
+    cols = closed_rows.columns
+    return (
+        closed_rows.unionByName(untouched.select(*cols))
+        .unionByName(closed_now.select(*cols))
+        .unionByName(opened.select(*cols))
+    )

@@ -1027,3 +1027,103 @@ def user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_id").over(w).alias("min_value_event"),
         F.lag("value").over(w).alias("prev_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Having-filter + join back to detail (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+LARGE_ORDER_QTY = 250
+
+
+@register(
+    "large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity', exact2=True)} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(28,2))) > {LARGE_ORDER_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           {sql_cents('o_totalprice')}::DOUBLE AS totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the big fact, HAVING-filter to the rare
+    heavy groups, then join back to headers. The aggregate runs FIRST so
+    the join probes only qualifying orders — at scale the filtered side
+    is tiny (heavy-order keys), which AQE converts to a broadcast join at
+    runtime; the plan never joins the full lineitem to orders."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"), 28)).alias("qty_exact"))
+        .where(F.col("qty_exact") > LARGE_ORDER_QTY)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents(F.col("o_totalprice")).cast("double").alias("totalprice"),
+            dround(F.col("qty_exact").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization: two-pass per-group outlier clipping at p05/p95
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_winsorized",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE e.value < lo OR e.value > hi) AS n_clipped,
+           {sql_dsum('value')} AS sum_raw,
+           {sql_dsum('greatest(lo, least(hi, value))')} AS sum_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization, the standard two-pass outlier treatment:
+    pass 1 computes exact p05/p95 per group (bounded group count ->
+    bounded state), pass 2 re-scans and clips via a BROADCAST join of the
+    tiny bounds table — the big side is never shuffled. Exact
+    percentiles keep the oracle strong; a 100 TB deployment would swap
+    pass 1 to approx_percentile (sketch, mergeable) with the same shape."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            ).alias("n_clipped"),
+            dsum(F.col("value")).alias("sum_raw"),
+            dsum(clipped).alias("sum_winsorized"),
+        )
+    )

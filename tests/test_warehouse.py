@@ -297,3 +297,62 @@ def test_embedding_lsh_recall(spark):
     # true near-neighbors collide in at least one table far more often
     assert hit_top >= 0.5
     assert hit_top > 1.5 * hit_rand
+
+
+def test_scd2_apply_versioning(spark):
+    """Type-2 SCD: changed rows close their open version and append a new
+    one; unchanged rows pass through; new keys open; absent keys persist."""
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.warehouse import scd2_apply
+
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-02-01 00:00:00").cast("timestamp")
+
+    batch1 = spark.createDataFrame(
+        [("STU001", "Mumbai", 90), ("STU002", "Delhi", 80)],
+        "student_id string, city string, quality int",
+    )
+    dim = scd2_apply(None, batch1, ["student_id"], ["city", "quality"], t1)
+    rows = {(r.student_id, str(r.valid_from)): r for r in dim.collect()}
+    assert len(rows) == 2
+    assert all(r.is_current for r in rows.values())
+
+    # batch 2: STU001 moves city; STU003 is new; STU002 unchanged
+    batch2 = spark.createDataFrame(
+        [("STU001", "Pune", 90), ("STU002", "Delhi", 80), ("STU003", "Goa", 70)],
+        "student_id string, city string, quality int",
+    )
+    dim2 = scd2_apply(dim, batch2, ["student_id"], ["city", "quality"], t2)
+    out = dim2.orderBy("student_id", "valid_from").collect()
+    by_sid = {}
+    for r in out:
+        by_sid.setdefault(r.student_id, []).append(r)
+
+    # STU001: two versions — closed Mumbai + open Pune
+    v1, v2 = by_sid["STU001"]
+    assert (v1.city, bool(v1.is_current), str(v1.valid_to)) == (
+        "Mumbai", False, "2024-02-01 00:00:00")
+    assert (v2.city, bool(v2.is_current)) == ("Pune", True)
+    assert str(v2.valid_from) == "2024-02-01 00:00:00"
+    # STU002: single untouched open version from batch 1
+    (s2,) = by_sid["STU002"]
+    assert (bool(s2.is_current), str(s2.valid_from)) == (True, "2024-01-01 00:00:00")
+    # STU003: newly opened
+    (s3,) = by_sid["STU003"]
+    assert (s3.city, bool(s3.is_current)) == ("Goa", True)
+
+    # batch 3 omits STU001 entirely -> both its versions persist unchanged
+    batch3 = spark.createDataFrame(
+        [("STU002", "Chennai", 85)], "student_id string, city string, quality int"
+    )
+    t3 = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    dim3 = scd2_apply(dim2, batch3, ["student_id"], ["city", "quality"], t3)
+    stu1 = [r for r in dim3.collect() if r.student_id == "STU001"]
+    assert len(stu1) == 2
+    assert sorted(bool(r.is_current) for r in stu1) == [False, True]
+    # exactly one open version per key
+    open_counts = (
+        dim3.where("is_current").groupBy("student_id").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
