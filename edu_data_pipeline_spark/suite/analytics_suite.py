@@ -1127,3 +1127,90 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(clipped).alias("sum_winsorized"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON processing (events.props)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_props_json",
+    oracle=f"""
+    WITH extracted AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           {sql_dround('sum(k) * 1.0 / count(k)', 4)} AS avg_k,
+           max(k) AS max_k
+    FROM extracted GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract a typed field from the JSON props
+    column and aggregate it. get_json_object runs JVM-side (Jackson) —
+    no Python, no pre-parsing pass; at scale you'd promote hot JSON
+    fields to columns at ingest, and this query is exactly the probe
+    that tells you which fields are hot."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        dround(F.sum("k") * 1.0 / F.count("k"), 4).alias("avg_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation audit (order header vs lineitem detail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_price_reconciliation",
+    oracle=f"""
+    WITH detail AS (
+      SELECT l_orderkey,
+             sum({_SQL_CHARGE}) AS computed
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(*) FILTER (
+             WHERE abs({sql_cents('o_totalprice')} - coalesce(computed, 0)) > 0.01
+           ) AS n_mismatched,
+           {sql_dround(f"CAST(max(abs({sql_cents('o_totalprice')} - coalesce(computed, 0))) AS DOUBLE)", 2)}
+             AS max_abs_diff
+    FROM orders LEFT JOIN detail ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse audit: does the header total match the recomputed detail
+    charge? Header-vs-detail reconciliation is the standard post-load
+    data-quality gate. All math in exact decimals (the same cents
+    conventions as pricing_summary) so the mismatch count is
+    deterministic; the join is co-partitioned on orderkey with the
+    detail side pre-aggregated (one row per order, never a fact-fact
+    row join)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    detail = l.groupBy("l_orderkey").agg(F.sum(_charge_dec()).alias("computed"))
+    zero = F.lit(0).cast("decimal(1,0)")
+    diff = F.abs(cents(F.col("o_totalprice")) - F.coalesce(F.col("computed"), zero))
+    return (
+        o.join(detail, o.o_orderkey == detail.l_orderkey, "left")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(diff > 0.01, 1)).alias("n_mismatched"),
+            dround(F.max(diff).cast("double"), 2).alias("max_abs_diff"),
+        )
+    )
