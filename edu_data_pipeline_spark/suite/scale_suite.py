@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import dround, register
+from . import dround, register, sql_dround
 
 STOPWORDS = ("the", "a")
 
@@ -1621,4 +1621,115 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("representative"),
         "cluster_size",
         F.col("n_chars").alias("rep_n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition + rule-bundle quality filters (public Gopher/C4 rule families)
+# ---------------------------------------------------------------------------
+
+# Shingles WITH duplicates (no list_distinct): repetition needs the multiset.
+_SQL_SHINGLES_DUP = """
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(string_split(trim(text), ' ')) - 1, 1)),
+               i -> string_split(trim(text), ' ')[i] || ' '
+                    || string_split(trim(text), ' ')[i+1] || ' '
+                    || string_split(trim(text), ' ')[i+2]) AS shingles
+      FROM documents
+"""
+
+
+@register(
+    "docs_repetition",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES_DUP}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(DISTINCT s) AS n_distinct,
+           {sql_dround('1.0 - count(DISTINCT s) * 1.0 / count(*)', 4)}
+             AS repetition_ratio
+    FROM exploded GROUP BY doc_id
+    """,
+)
+def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-3-gram ratio — the standard repetition quality signal
+    (templated/spun text repeats shingles; clean prose rarely does).
+    Shares the linear posexplode+lead shingle stage; one groupBy doc with
+    a count-distinct — no joins, no candidate generation."""
+    d = table(spark, sf_dir, "documents")
+    sh = _shingle_rows(d)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_distinct("s").alias("n_distinct"),
+        dround(
+            1.0 - F.count_distinct("s") * 1.0 / F.count(F.lit(1)), 4
+        ).alias("repetition_ratio"),
+    )
+
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+
+
+@register(
+    "docs_gopher_filters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars, text,
+             string_split(trim(text), ' ') AS tokens
+      FROM documents
+    ), stats AS (
+      SELECT doc_id, n_chars,
+             len(tokens) AS n_words,
+             list_sum(list_transform(tokens, t -> length(t))) AS char_sum,
+             len(list_filter(tokens, t -> t IN ('the', 'a'))) AS stop_hits,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+      FROM toks
+    )
+    SELECT doc_id, n_words,
+           {sql_dround('char_sum * 1.0 / greatest(n_words, 1)', 2)} AS mean_word_len,
+           {sql_dround('n_alpha * 1.0 / greatest(n_chars, 1)', 4)} AS alpha_ratio,
+           stop_hits,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND char_sum * 1.0 / greatest(n_words, 1)
+                BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+            AND stop_hits >= 1) AS keep
+    FROM stats
+    """,
+)
+def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-bundle quality gate in the style of the published Gopher
+    heuristics: word-count band, mean-word-length band, and a
+    stopword-presence check, plus an alphabetic-character ratio. All
+    native expressions over one scan — the per-document flags feed
+    docs_filter_funnel-style mix construction; thresholds are module
+    constants so a corpus tune is one edit."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    char_sum = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    mwl = char_sum * 1.0 / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        dround(mwl, 2).alias("mean_word_len"),
+        dround(n_alpha * 1.0 / F.greatest(F.col("n_chars"), F.lit(1)), 4).alias(
+            "alpha_ratio"
+        ),
+        stop_hits.alias("stop_hits"),
+        (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+            & (stop_hits >= 1)
+        ).alias("keep"),
     )
