@@ -958,7 +958,13 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join whose fan-out is bounded by events-per-bucket. Lossless:
     a click in [ts-30m, ts) lands in bucket(ts)-1 or bucket(ts) exactly
     (floor is monotone over a window-sized bin)."""
-    e = table(spark, sf_dir, "events")
+    return range_join_core(table(spark, sf_dir, "events"))
+
+
+def range_join_core(e: DataFrame) -> DataFrame:
+    """The bucketed range-join core over any events-shaped DataFrame
+    (shared with scripts/scale_smoke.py so measured scaling numbers
+    describe the shipped plan)."""
     # exact integer bucketing (div, not double division) so the
     # two-bucket pigeonhole is provably lossless at any epoch
     bucket = F.expr(f"unix_micros(ts) div {RANGE_WINDOW_US}")

@@ -65,6 +65,21 @@ def main():
     print(f"minhash signatures: {d1.count()} docs in {s1}s; "
           f"{d8.count()} doc-rows in {s8}s; "
           f"8x data -> {round(s8 / max(s1, 1e-9), 1)}x time")
+
+    # bucketed range join: both sides scale together, so candidate volume
+    # grows ~64x on 8x-by-8x (each purchase sees 8x clicks per bucket) —
+    # the probe reports against that quadratic-in-density expectation
+    from edu_data_pipeline_spark.suite.analytics_suite import range_join_core
+
+    e1 = table(spark, sf, "events")
+    e8 = e1
+    for _ in range(3):
+        e8 = e8.unionByName(e8)
+    timed(range_join_core(e1))  # warm
+    r1 = timed(range_join_core(e1))
+    r8 = timed(range_join_core(e8))
+    print(f"range join: {e1.count()} events in {r1}s; {e8.count()} in {r8}s; "
+          f"8x BOTH sides (64x pair density) -> {round(r8 / max(r1, 1e-9), 1)}x time")
     spark.stop()
 
 
