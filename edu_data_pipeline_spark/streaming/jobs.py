@@ -347,3 +347,44 @@ def session_metrics_stream(
             "avg_score",
         )
     )
+
+
+def stream_stream_attribution(
+    watched: DataFrame,
+    completed: DataFrame,
+    window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each completion
+    event to the SAME student's watch events in the preceding ``window``
+    (the streaming twin of the batch events_range_join /
+    asof_purchase_attribution pair).
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so Spark can expire join state — without the interval
+    bound the state store would grow forever. Scale: state is keyed by
+    (student, time-range); each side buffers only ``watermark`` worth of
+    events."""
+    w = (
+        watched.withWatermark("event_timestamp", watermark)
+        .select(
+            F.col("student_id").alias("w_student"),
+            F.col("event_id").alias("watch_event_id"),
+            F.col("event_timestamp").alias("watch_ts"),
+        )
+    )
+    c = completed.withWatermark("event_timestamp", watermark).select(
+        "student_id",
+        F.col("event_id").alias("completion_event_id"),
+        F.col("event_timestamp").alias("completion_ts"),
+    )
+    return c.join(
+        w,
+        (F.col("student_id") == F.col("w_student"))
+        & (F.col("watch_ts") >= F.col("completion_ts") - F.expr(f"INTERVAL {window}"))
+        & (F.col("watch_ts") < F.col("completion_ts")),
+        "inner",
+    ).select(
+        "student_id", "completion_event_id", "completion_ts",
+        "watch_event_id", "watch_ts",
+    )

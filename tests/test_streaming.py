@@ -279,3 +279,38 @@ def test_stream_enrichment_columns(spark, tmp_path):
     # evt-001: completion 50 -> risk 0/Low; evt-003: completion 10 -> +25 Medium
     assert (rows["evt-001"].ai_risk_score, rows["evt-001"].ai_risk_category) == (0.0, "Low")
     assert (rows["evt-003"].ai_risk_score, rows["evt-003"].ai_risk_category) == (25.0, "Medium")
+
+
+def test_stream_stream_attribution(spark, tmp_path):
+    """Stream-stream interval join: completions attribute to same-student
+    watches within the preceding 30 min; outside-window and cross-student
+    watches do not match."""
+    src = str(tmp_path / "events")
+
+    def ev(eid, sid, etype, ts):
+        return {"event_id": eid, "student_id": sid, "course_id": "C1",
+                "event_type": etype, "event_timestamp": ts,
+                "duration_seconds": "60", "score": "50", "module_id": "M",
+                "completion_percentage": "10"}
+
+    write_events(src, [
+        ev("w1", "STU001", "video_watched", "2024-02-01T10:00:00"),
+        ev("w2", "STU001", "video_watched", "2024-02-01T09:00:00"),  # > 30 min before
+        ev("w3", "STU002", "video_watched", "2024-02-01T10:05:00"),  # other student
+        ev("q1", "STU001", "quiz_completed", "2024-02-01T10:10:00"),
+    ], "b1.json")
+    stream = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(stream, ref_ts=ref_ts())
+    watched = cleaned.where("event_type = 'video_watched'")
+    completed = cleaned.where("event_type = 'quiz_completed'")
+    joined = jobs.stream_stream_attribution(watched, completed)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM attr_sink").collect()
+    assert [(r.completion_event_id, r.watch_event_id) for r in rows] == [("q1", "w1")]
