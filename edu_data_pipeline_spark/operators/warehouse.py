@@ -295,3 +295,63 @@ def scd2_apply(
         .unionByName(closed_now.select(*cols))
         .unionByName(opened.select(*cols))
     )
+
+
+class DeltaMergeWriter:
+    """Delta Lake MERGE writer — the production swap-in for
+    ParquetMergeWriter (reference upsert semantics db.py:45-65 as a real
+    ``MERGE INTO``).
+
+    The sandbox has no delta-spark package, so construction degrades to
+    unavailable rather than failing the import; callers check
+    ``available`` (mirrors kafka_io.kafka_available). The merge body is
+    the exact call-site shape a Delta deployment runs — in-batch
+    last-write-wins dedup first (MERGE requires unique source keys),
+    then update-all/insert-all with null-safe key equality.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path
+        self.keys = keys
+        try:  # pragma: no cover - package absent in this environment
+            from delta.tables import DeltaTable  # noqa: F401
+
+            self._delta_table_cls = DeltaTable
+        except ImportError:
+            self._delta_table_cls = None
+
+    @property
+    def available(self) -> bool:
+        return self._delta_table_cls is not None
+
+    def merge(self, updates: DataFrame, order_col: str | None = None) -> None:
+        """MERGE INTO target USING deduped-updates ON null-safe keys."""
+        if not self.available:
+            raise RuntimeError(
+                "delta-spark is not installed; use ParquetMergeWriter "
+                "(identical merge semantics over parquet)"
+            )
+        # pragma: no cover start - exercised only on Delta deployments
+        DeltaTable = self._delta_table_cls
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.desc(order_col) if order_col else F.monotonically_increasing_id().desc()
+        )
+        deduped = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not DeltaTable.isDeltaTable(self.spark, self.path):
+            deduped.write.format("delta").mode("overwrite").save(self.path)
+            return
+        target = DeltaTable.forPath(self.spark, self.path)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in self.keys)
+        (
+            target.alias("t")
+            .merge(deduped.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        # pragma: no cover end

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import dround, register, sql_dround
+from . import davg, dround, register, sql_davg, sql_dround
 
 STOPWORDS = ("the", "a")
 
@@ -1732,4 +1732,69 @@ def docs_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & mwl.between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
             & (stop_hits >= 1)
         ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (storage/bandwidth compression for ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantization",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+      FROM vecs
+    ), deq AS (
+      SELECT vec_id, label, v,
+             CASE WHEN s > 0
+                  THEN list_transform(v, x -> floor(x / s + 0.5) * s)
+                  ELSE v END AS d
+      FROM scaled
+    ), cos AS (
+      SELECT vec_id, label,
+             list_dot_product(v, d)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(d, d)))
+               AS c
+      FROM deq
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           {sql_davg('c', 6)} AS avg_cosine,
+           {sql_dround('min(c)', 6)} AS min_cosine
+    FROM cos GROUP BY label
+    """,
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization quality report: quantize each vector
+    with a per-vector scale (max_abs/127, the standard scheme), dequantize
+    and measure cosine fidelity per label. At 100 TB this is a 4x
+    storage/bandwidth cut for ANN sharding; the report is the gate that
+    says whether recall survives. Quantization uses floor(x/s + 0.5)
+    (round-half-toward-+inf) — identical on both engines, unlike
+    round(), which half-ties differently. Fully shuffle-free per vector;
+    one tiny per-label aggregate at the end."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    s = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / 127.0
+    scaled = e.withColumn("s", s)
+    deq = scaled.withColumn(
+        "d",
+        F.when(
+            F.col("s") > 0,
+            F.transform(F.col("v"), lambda x: F.floor(x / F.col("s") + 0.5) * F.col("s")),
+        ).otherwise(F.col("v")),
+    )
+    cos = deq.withColumn("c", _cosine(F.col("v"), F.col("d")))
+    # avg goes through the exact-decimal route (davg): a raw double avg
+    # is summation-order-dependent across engines
+    return cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        davg(F.col("c"), 6).alias("avg_cosine"),
+        dround(F.min("c"), 6).alias("min_cosine"),
     )

@@ -356,3 +356,17 @@ def test_scd2_apply_versioning(spark):
         dim3.where("is_current").groupBy("student_id").count().collect()
     )
     assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_delta_writer_degrades_gracefully(spark, tmp_path):
+    """delta-spark is absent here: the writer must construct, report
+    unavailable, and raise a clear error pointing at the parquet twin."""
+    import pytest as _pytest
+
+    from edu_data_pipeline_spark.operators.warehouse import DeltaMergeWriter
+
+    w = DeltaMergeWriter(spark, str(tmp_path / "delta_dim"), keys=["k"])
+    assert w.available is False
+    updates = spark.createDataFrame([("K1", "v")], "k string, v string")
+    with _pytest.raises(RuntimeError, match="ParquetMergeWriter"):
+        w.merge(updates)
