@@ -1220,3 +1220,143 @@ def order_price_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max(diff).cast("double"), 2).alias("max_abs_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution including empty groups (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram INCLUDING the
+    zero-order customers (the left join is what makes the 0 bucket
+    appear — an inner join silently drops it). count(o_orderkey) counts
+    matches only, so unmatched customers land in bucket 0."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group argmin join-back (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_min_cost_supplier",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             l_extendedprice / greatest(l_quantity, 1) AS unit_cost,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice / greatest(l_quantity, 1), l_suppkey,
+                        l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT ps_partkey, ps_suppkey,
+           CAST(CAST(CAST(unit_cost AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE)
+             AS min_unit_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's core shape — per-group argmin with the winning row's
+    attributes — via one ranking window (partition count scales with
+    parts). There is no partsupp table in the driver testdata, so unit
+    cost derives from lineitem; ties break on (suppkey, orderkey,
+    linenumber) for full determinism. The window form beats the
+    min-join-back form (one shuffle instead of two + no equality-on-
+    float join key)."""
+    l = table(spark, sf_dir, "lineitem")
+    unit_cost = F.col("l_extendedprice") / F.greatest(F.col("l_quantity"), F.lit(1))
+    w = Window.partitionBy("l_partkey").orderBy(
+        unit_cost, "l_suppkey", "l_orderkey", "l_linenumber"
+    )
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            dround(unit_cost, 4).alias("min_unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass z-score anomaly detection over daily volumes (exact variance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_event_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), stats AS (
+      SELECT count(*) AS n_days,
+             sum(CAST(n AS DECIMAL(28,2))) AS s1,
+             sum(CAST(n AS DECIMAL(28,2)) * CAST(n AS DECIMAL(28,2))) AS s2
+      FROM daily
+    )
+    SELECT day, n,
+           CAST(CAST(CAST(
+             (n - CAST(s1 AS DOUBLE) / n_days)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                    / (n_days - 1))
+           AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS zscore,
+           abs((n - CAST(s1 AS DOUBLE) / n_days)
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_days)
+                      / (n_days - 1))) > 2 AS is_anomaly
+    FROM daily CROSS JOIN stats
+    """,
+)
+def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly gate: daily event counts z-scored against the
+    corpus mean/stddev. Variance comes from exact-decimal sum and
+    sum-of-squares (counts are integers, so both are exact and
+    order-independent — a raw stddev_samp over doubles hashes
+    differently across engines); the tiny stats row broadcasts back over
+    the daily aggregate. The same two-pass broadcast shape as
+    events_winsorized, on the time axis."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nd = F.col("n").cast("decimal(28,2)")
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(nd).alias("s1"),
+        F.sum(nd * nd).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        dround(z, 4).alias("zscore"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
