@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions.dates import date_key
 from ..sources.testdata import table
 from . import (
+    DEC,
     cents,
     davg,
     davg_exact,
@@ -1359,4 +1360,195 @@ def daily_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(z, 4).alias("zscore"),
         (F.abs(z) > 2).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join + decorrelated scalar subquery (TPC-H Q22 shape): high-balance
+# customers with no recent orders. The global average is a 1-row broadcast
+# (the decorrelated form of Q22's scalar subquery); the "no recent orders"
+# test is a left_anti join against the filtered fact — both sides scale
+# linearly and the anti-join shuffles on the same custkey the fact is
+# naturally keyed by.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH thr AS (
+      SELECT CAST(sum({sql_cents('c_acctbal')}) AS DOUBLE) / count(c_acctbal) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           {sql_dsum('c_acctbal', exact2=True)} AS total_bal
+    FROM customer, thr
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape. The comparison threshold is an exact-decimal sum
+    cast to double over a count — bit-identical across engines, so the
+    `c_acctbal > ab` boundary cannot flip a row (an order-dependent
+    avg(double) could). c_acctbal holds exact cents, hence the exact2
+    sum tier."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    thr = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents(F.col("c_acctbal"))).cast("double") / F.count("c_acctbal")).alias(
+            "ab"
+        )
+    )
+    recent = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), exact2=True).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-supplier blame analysis (TPC-H Q21 shape). The textbook form is
+# EXISTS + NOT EXISTS self-joins on lineitem; at scale that's three passes
+# over the biggest fact. Reformulated aggregation-first: one orderkey
+# equi-join (co-partitioned/bucketable with the fact's natural key), one
+# (order, supplier) aggregate, then an orderkey window for the per-order
+# supplier/late counts — the self-joins disappear and every shuffle key is
+# the order key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_late_blame",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), pair AS (
+      SELECT l_orderkey, l_suppkey, max(late) AS late_any
+      FROM lines GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late_any) AS n_late
+      FROM pair GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS n_blamed
+    FROM pair p
+    JOIN per_order o USING (l_orderkey)
+    JOIN supplier ON s_suppkey = p.l_suppkey
+    WHERE o.n_supp >= 2 AND o.n_late = 1 AND p.late_any = 1
+    GROUP BY s_name
+    ORDER BY n_blamed DESC, s_name
+    LIMIT 10
+    """,
+)
+def supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for the late line on multi-supplier
+    orders (TPC-H Q21 shape), top-10 by blamed-order count with a
+    deterministic (count DESC, name) tie-break. supplier is a broadcast
+    dim; see the section comment for the aggregation-first plan."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    s = table(spark, sf_dir, "supplier")
+    lines = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        l.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(
+            F.col("l_shipdate")
+            > F.timestamp_add("DAY", F.lit(45), F.col("o_orderdate")),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    pair = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late_any")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per = pair.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late_any").over(w).alias("n_late"),
+    )
+    blamed = per.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1) & (F.col("late_any") == 1)
+    )
+    return (
+        blamed.join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_blamed"))
+        .orderBy(F.desc("n_blamed"), "s_name")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling window: 7-calendar-day rolling revenue. RANGE (not
+# ROWS) so calendar gaps shorten the window — a frame class nothing else
+# in the suite exercises. The window runs over the DAILY aggregate, whose
+# cardinality is bounded by the calendar (~2.4k rows here, 36.5k rows per
+# century), so the unpartitioned ordered window is safe at any data scale;
+# the data-sized work is the one groupBy(day) underneath it.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_rolling",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10))) AS rev_dec
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day,
+           {sql_dround('CAST(rev_dec AS DOUBLE)', 2)} AS daily_rev,
+           {sql_dround('CAST(sum(rev_dec) OVER w AS DOUBLE)', 2)} AS rev_7d,
+           {sql_dround('CAST(sum(rev_dec) OVER w AS DOUBLE) / (count(*) OVER w)', 4)}
+             AS avg_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue via a RANGE frame over day numbers. The
+    rolling sum accumulates the exact string-route decimal (o_totalprice
+    is a derived double, not exact cents), so window-frame order cannot
+    perturb the hash on either engine."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("string").cast(DEC)).alias("rev_dec"))
+        .withColumn(
+            "day_num", F.datediff(F.col("day"), F.lit("1995-01-01").cast("date"))
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    roll = F.sum("rev_dec").over(w).cast("double")
+    return daily.select(
+        "day",
+        dround(F.col("rev_dec").cast("double"), 2).alias("daily_rev"),
+        dround(roll, 2).alias("rev_7d"),
+        dround(roll / F.count(F.lit(1)).over(w), 4).alias("avg_7d"),
     )
