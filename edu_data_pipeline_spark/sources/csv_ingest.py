@@ -129,7 +129,14 @@ def with_lineage(df: DataFrame, batch_id: str | None = None) -> DataFrame:
     by the 25 MB file cap, not dataset size.
     """
     batch = batch_id or uuid.uuid4().hex
-    with_file = df.withColumn("file_name", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    # honor a pre-captured file_name (sources that cache the scan must
+    # capture input_file_name() before materialization, e.g. jsonl_ingest)
+    if "file_name" in df.columns:
+        with_file = df
+    else:
+        with_file = df.withColumn(
+            "file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
     w = Window.partitionBy("file_name").orderBy(F.monotonically_increasing_id())
     return (
         with_file.withColumn("file_row_number", F.row_number().over(w))

@@ -1810,3 +1810,73 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("c"), 6).alias("avg_cosine"),
         dround(F.min("c"), 6).alias("min_cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: exact-percentile quartile bins over token
+# counts — the standard prep for length-sorted training batches. Two
+# passes: one exact-percentile aggregate (a 1-row broadcast), then a
+# single bucketing scan. The quartile fractions are dyadic (0.25/0.5/
+# 0.75), so the linear interpolation inside the percentile is bit-exact
+# in IEEE double on both engines regardless of how each associates the
+# arithmetic — that's what makes an exact-percentile boundary safe to
+# compare against. At scale the percentile pass can swap to
+# percentile_approx without changing the shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_length_buckets",
+    oracle="""
+    WITH wt AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens FROM documents
+    ), q AS (
+      SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(n_tokens AS DOUBLE), 0.50) AS q2,
+             quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS q3
+      FROM wt
+    )
+    SELECT CASE WHEN n_tokens <= q1 THEN 'q1'
+                WHEN n_tokens <= q2 THEN 'q2'
+                WHEN n_tokens <= q3 THEN 'q3' ELSE 'q4' END AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens,
+           CAST(CAST(CAST(CAST(sum(n_tokens) AS DOUBLE) / count(*) AS VARCHAR)
+                AS DECIMAL(38,4)) AS DOUBLE) AS avg_tokens
+    FROM wt, q
+    GROUP BY 1
+    """,
+)
+def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile length buckets for batch packing (see section comment)."""
+    d = table(spark, sf_dir, "documents")
+    wt = d.select(
+        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
+    )
+    q = wt.agg(
+        F.percentile(F.col("n_tokens").cast("double"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("n_tokens").cast("double"), F.lit(0.50)).alias("q2"),
+        F.percentile(F.col("n_tokens").cast("double"), F.lit(0.75)).alias("q3"),
+    )
+    n = F.col("n_tokens")
+    return (
+        wt.crossJoin(F.broadcast(q))
+        .select(
+            "n_tokens",
+            F.when(n <= F.col("q1"), "q1")
+            .when(n <= F.col("q2"), "q2")
+            .when(n <= F.col("q3"), "q3")
+            .otherwise("q4")
+            .alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            dround(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+        )
+    )
