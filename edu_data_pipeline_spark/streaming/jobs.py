@@ -318,6 +318,30 @@ def enrich_event_stream(cleaned: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream_with_dim(
+    cleaned: DataFrame, dim: DataFrame, key: str = "student_id"
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each streaming event with
+    dimension attributes (the reference enriches consumed events with
+    student context before publishing, ``kafka/streaming.py:97-108``).
+
+    The static side is explicitly broadcast — a stream-static join must
+    not shuffle the stream, and with the dim broadcast each micro-batch
+    is a map-side hash join with zero state; Spark re-resolves the
+    static side per micro-batch, so a dim backed by a refreshable table
+    picks up updates between batches. Left join: an event with no dim
+    row still flows (nulls), matching the batch SK-lookup policy."""
+    prefixed = dim.select(
+        F.col(key).alias(f"_dim_{key}"),
+        *[F.col(c) for c in dim.columns if c != key],
+    )
+    return cleaned.join(
+        F.broadcast(prefixed),
+        cleaned[key] == prefixed[f"_dim_{key}"],
+        "left",
+    ).drop(f"_dim_{key}")
+
+
 def session_metrics_stream(
     cleaned: DataFrame,
     gap: str = "30 minutes",

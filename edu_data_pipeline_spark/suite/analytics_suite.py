@@ -1552,3 +1552,39 @@ def daily_revenue_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(roll, 2).alias("rev_7d"),
         dround(roll / F.count(F.lit(1)).over(w), 4).alias("avg_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (beyond the suite's cube/rollup): two independent
+# one-dimensional aggregates plus the grand total in a single pass over
+# the fact — at scale this replaces three scans with one shuffle whose
+# width is the sum of the grouping-set cardinalities. grouping_id()
+# disambiguates the null-as-aggregated rows from genuine nulls.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_grouping_sets",
+    oracle=f"""
+    SELECT event_type,
+           CAST(ts AS DATE) AS day,
+           GROUPING(event_type, CAST(ts AS DATE)) AS gid,
+           count(*) AS n,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type totals, per-day totals, and the grand total in one pass
+    via GROUPING SETS (Spark 4 DataFrame groupingSets API)."""
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date")
+    )
+    return e.groupingSets(
+        [["event_type"], ["day"], []], "event_type", "day"
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("total_value"),
+    )

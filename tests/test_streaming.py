@@ -314,3 +314,32 @@ def test_stream_stream_attribution(spark, tmp_path):
     q.stop()
     rows = spark.sql("SELECT * FROM attr_sink").collect()
     assert [(r.completion_event_id, r.watch_event_id) for r in rows] == [("q1", "w1")]
+
+
+def test_stream_static_dim_enrichment(spark, tmp_path):
+    src = str(tmp_path / "events_in")
+    write_events(src, EVENTS_BATCH_1, "b1.jsonl")
+    events = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(events, ref_ts=ref_ts())
+    dim = spark.createDataFrame(
+        [("STU001", "Mumbai", "gold"), ("STU002", "Delhi", "silver")],
+        ["student_id", "city", "tier"],
+    )
+    enriched = jobs.enrich_stream_with_dim(cleaned, dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("dim_enriched_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        r.event_id: (r.city, r.tier)
+        for r in spark.table("dim_enriched_sink").collect()
+    }
+    # STU001 events decorated; the cleaned stu-2 -> STU002 row matches the
+    # dim (shared cleaning normalizes the key before the join)
+    assert rows["evt-001"] == ("Mumbai", "gold")
+    assert rows["evt-003"] == ("Mumbai", "gold")
+    assert rows["evt-002"] == ("Delhi", "silver")
