@@ -49,6 +49,10 @@ HEADLINE = [
     "events_range_join",
     "large_orders",
     "docs_decontamination",
+    "supplier_late_blame",
+    "daily_revenue_rolling",
+    "docs_length_buckets",
+    "events_grouping_sets",
 ]
 
 

@@ -1880,3 +1880,122 @@ def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted training-mix sampling: per-source keep rates (up/down-weighting
+# sources is how training mixes are tuned). Same content-addressed hash
+# bucketing as docs_hash_sample, but the threshold comes from a per-source
+# rate table — a broadcast join, so the whole mix is one shuffle-free
+# filter pass over the corpus, deterministic across engines and re-runs.
+# ---------------------------------------------------------------------------
+
+
+def _mix_rate_sql() -> str:
+    # src0..src19: rate rises with the numeric suffix mod 4 (25/50/75/100%)
+    return "(25 * (1 + CAST(substr(source, 4) AS INTEGER) % 4))"
+
+
+@register(
+    "docs_weighted_mix",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_kept,
+           min({_sql_hash_bucket('doc_id', 100)}) AS min_bucket,
+           max({_sql_hash_bucket('doc_id', 100)}) AS max_bucket
+    FROM documents
+    WHERE {_sql_hash_bucket('doc_id', 100)} < {_mix_rate_sql()}
+    GROUP BY source
+    """,
+)
+def docs_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling: keep rate 25/50/75/100% by source
+    (derived from the source id here; a real mix ships the rate table as
+    a broadcast dim). Pure filter — no shuffle until the audit count."""
+    d = table(spark, sf_dir, "documents")
+    rate = 25 * (
+        1 + F.substring(F.col("source"), 4, 10).cast("int") % 4
+    )
+    bucket = _hash_bucket(F.col("doc_id"), 100)
+    return (
+        d.where(bucket < rate)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min(bucket).alias("min_bucket"),
+            F.max(bucket).alias("max_bucket"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style concat-and-chunk): lay the token stream out
+# per shard in a stable order, running-sum the lengths, and assign each
+# document to the 2048-token chunk its first token lands in. The window
+# is partitioned by shard (content-addressed), so parallelism is the
+# shard count and no global order exists — the standard way packing runs
+# on a cluster. Pure integer arithmetic: trivially hash-exact.
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048
+PACK_SHARDS = 8
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH wt AS (
+      SELECT doc_id,
+             {_sql_hash_bucket('doc_id', PACK_SHARDS)} AS shard,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ), laid AS (
+      SELECT shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM wt
+    )
+    SELECT shard,
+           -- DuckDB '/' is float division and CAST..BIGINT rounds
+           -- half-even; floor() matches Spark's F.floor exactly
+           CAST(floor((cum - n_tokens) / {PACK_SEQ_LEN}) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM laid
+    GROUP BY shard, pack_id
+    """,
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard concat-and-chunk packing summary (see section comment).
+    pack_id = floor(start_offset / seq_len): which 2048-token training
+    chunk this document starts in."""
+    d = table(spark, sf_dir, "documents")
+    wt = d.select(
+        "doc_id",
+        _hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    laid = wt.select(
+        "shard",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum"),
+    )
+    return (
+        laid.select(
+            "shard",
+            "n_tokens",
+            F.floor((F.col("cum") - F.col("n_tokens")) / PACK_SEQ_LEN).alias(
+                "pack_id"
+            ),
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
