@@ -1588,3 +1588,77 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("value")).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiplicity-preserving set ops (INTERSECT ALL / EXCEPT ALL): bag
+# semantics source_set_ops' distinct variants can't express — how many
+# occurrences of each event type the two month halves share. Spark plans
+# these as an aggregate of per-side counts + generator (no self-join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_multiset_ops",
+    oracle="""
+    SELECT 'first_half_matched' AS set_op, event_type, count(*) AS n FROM (
+      SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      INTERSECT ALL
+      SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ) GROUP BY event_type
+    UNION ALL
+    SELECT 'first_half_surplus', event_type, count(*) FROM (
+      SELECT event_type FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      EXCEPT ALL
+      SELECT event_type FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ) GROUP BY event_type
+    """,
+)
+def events_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = e.where(F.col("ts") < cut).select("event_type")
+    b = e.where(F.col("ts") >= cut).select("event_type")
+    matched = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("first_half_matched").alias("set_op"), "event_type", "n")
+    )
+    surplus = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("first_half_surplus").alias("set_op"), "event_type", "n")
+    )
+    return matched.unionByName(surplus)
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt: the inverse of events_type_pivot. Wide per-user counts
+# (fixed pivot value list — never let the engine scan for distinct pivot
+# values at scale) melted back to long form; null cells (user never did
+# that event type) are dropped, restoring the sparse representation.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_unpivot",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot → unpivot round trip: equals the direct sparse aggregate."""
+    e = table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.unpivot(
+        ["user_id"], _EVENT_TYPES, "event_type", "n"
+    ).where(F.col("n").isNotNull())

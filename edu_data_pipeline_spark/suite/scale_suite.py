@@ -1999,3 +1999,97 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative numeric ML: 2 unrolled Lloyd k-means iterations (K=4, init =
+# vec_id 0..3), exactly the shape MLlib's KMeans distributes — assign is
+# a broadcast join against the K x dims centroid table (K*dims rows, KB),
+# update is one groupBy mean. Cross-engine exactness does the heavy
+# lifting here: squared-distance terms and coordinate sums go through the
+# string-route decimal (order-independent), so both engines compute
+# bit-identical centroids and the argmin (ORDER BY d2, cid) can never
+# flip — an iterative floating-point algorithm with a hash-exact oracle.
+# The components fixpoint (dedup_components) is the graph sibling.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+_EMB_DIMS = 64
+
+_SQL_SQ_DEC = (
+    "CAST(CAST((p.x - c.c) * (p.x - c.c) AS VARCHAR) AS DECIMAL(28,10))"
+)
+
+
+def _sql_kmeans_iter(pts: str, cent: str, out: str) -> str:
+    return f"""
+    j_{out} AS (
+      SELECT p.vec_id, c.cid, sum({_SQL_SQ_DEC}) AS d2
+      FROM {pts} p JOIN {cent} c USING (dim) GROUP BY p.vec_id, c.cid
+    ), {out} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM j_{out}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, generate_series(1, {_EMB_DIMS}) AS t(i)
+    ), init AS (
+      SELECT vec_id AS cid, dim, x AS c FROM pts WHERE vec_id < {KMEANS_K}
+    ), {_sql_kmeans_iter('pts', 'init', 'a1')}, c1 AS (
+      SELECT a1.cid, p.dim,
+             CAST(sum(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*) AS c
+      FROM pts p JOIN a1 USING (vec_id) GROUP BY a1.cid, p.dim
+    ), {_sql_kmeans_iter('pts', 'c1', 'a2')}
+    SELECT cid, count(*) AS n_members,
+           {sql_dround('CAST(sum(d2) AS DOUBLE)', 4)} AS inertia
+    FROM a2 GROUP BY cid
+    """,
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2 Lloyd iterations over the embeddings (see section comment);
+    returns per-centroid membership and inertia after iteration 2."""
+    from pyspark.sql import Window
+
+    from . import DEC
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pts = e.select("vec_id", F.posexplode("emb").alias("dim", "x"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        j = pts.alias("p").join(F.broadcast(cent.alias("c")), "dim")
+        sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+        d = j.groupBy("vec_id", "cid").agg(
+            F.sum(sq.cast("string").cast(DEC)).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    init = pts.where(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
+    )
+    a1 = assign(init)
+    c1 = pts.join(a1.select("vec_id", "cid"), "vec_id").groupBy("cid", "dim").agg(
+        (
+            F.sum(F.col("x").cast("string").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return a2.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        dround(F.sum("d2").cast("double"), 4).alias("inertia"),
+    )
