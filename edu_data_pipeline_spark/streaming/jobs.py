@@ -216,6 +216,29 @@ def foreach_batch_upsert(writer: ParquetMergeWriter, order_col: str = "event_tim
     return _write
 
 
+def run_available_now(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Process the source's full current backlog, then stop
+    (``Trigger.AvailableNow``): batch-incremental execution with
+    streaming exactly-once bookkeeping. Each invocation picks up only
+    data that arrived since the last run — the checkpointed cousin of
+    ``sources/incremental.py``'s explicit ledger, and the standard way
+    to run a "streaming" pipeline as a scheduled job on a cluster
+    (pay for executors only while the backlog drains)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def count_bounded_metrics(cleaned: DataFrame, max_events: int = 1000) -> DataFrame:
     """EXACT replication of the reference's count-bounded rolling window
     (StreamAggregator keeps the last ``max_events`` events per student —

@@ -1662,3 +1662,67 @@ def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_id"], _EVENT_TYPES, "event_type", "n"
     ).where(F.col("n").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Nation-pair trade volume (TPC-H Q7 shape): the same dimension joined in
+# two roles (customer's nation and supplier's nation). Dim side broadcasts
+# twice under different aliases; the fact chain shuffles once per fact key
+# (orderkey, then custkey). The pair inequality halves the output without
+# a second pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nation_trade_volume",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           count(*) AS n_lines,
+           {sql_dsum_exact(_SQL_DISC_PRICE)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name < sn.n_name
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY cust_nation, supp_nation, yr
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume by year. nation enters
+    the plan twice under different aliases (cust vs supp role); both
+    sides and supplier are explicit broadcasts. At 100 TB customer
+    outgrows broadcast and becomes a shuffle join on custkey — the plan
+    is otherwise unchanged."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .where(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum_exact(_disc_price_dec()).alias("volume"),
+    )

@@ -343,3 +343,33 @@ def test_stream_static_dim_enrichment(spark, tmp_path):
     assert rows["evt-001"] == ("Mumbai", "gold")
     assert rows["evt-003"] == ("Mumbai", "gold")
     assert rows["evt-002"] == ("Delhi", "silver")
+
+
+def test_available_now_incremental_runs(spark, tmp_path):
+    src = str(tmp_path / "backlog_in")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    write_events(src, EVENTS_BATCH_1, "b1.jsonl")
+    events = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(events, ref_ts=ref_ts())
+    jobs.run_available_now(cleaned, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 3
+    # second run with no new data: no-op (checkpoint remembers the files)
+    jobs.run_available_now(
+        jobs.clean_event_stream(
+            jobs.read_event_stream_json(spark, src), ref_ts=ref_ts()
+        ),
+        sink,
+        ckpt,
+    )
+    assert spark.read.parquet(sink).count() == 3
+    # new backlog file: only its rows are appended
+    write_events(src, EVENTS_BATCH_2, "b2.jsonl")
+    jobs.run_available_now(
+        jobs.clean_event_stream(
+            jobs.read_event_stream_json(spark, src), ref_ts=ref_ts()
+        ),
+        sink,
+        ckpt,
+    )
+    assert spark.read.parquet(sink).count() == 5
