@@ -1726,3 +1726,111 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         dsum_exact(_disc_price_dec()).alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered user-journey funnel: signup -> first click after signup ->
+# first purchase after that click. Each stage is a min-timestamp
+# aggregate conditioned on the previous stage's timestamp; all three
+# shuffles key on user_id, so on a cluster the stages co-partition and
+# AQE plans the later (shrinking) joins as broadcasts. No window over
+# raw events and no per-user event sorting — the aggregate form scales
+# with users, not events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        e.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(s.agg(F.count(F.lit(1)).alias("n_signup")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by first-activity week; each
+# (cohort, offset) cell counts distinct users active that many weeks
+# later. Two aggregates on user_id + one distinct count — integer week
+# arithmetic end to end, and the cohort join is on user_id again (the
+# same natural partitioning as everything else on this table).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weekly_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)
+                  AS BIGINT) AS week
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    wk = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).alias("week"),
+    )
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
