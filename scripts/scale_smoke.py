@@ -80,6 +80,40 @@ def main():
     r8 = timed(range_join_core(e8))
     print(f"range join: {e1.count()} events in {r1}s; {e8.count()} in {r8}s; "
           f"8x BOTH sides (64x pair density) -> {round(r8 / max(r1, 1e-9), 1)}x time")
+
+    # sequence packing: one shuffle on shard + an ordered running-sum
+    # window per shard — probes the window operator's scaling (expect
+    # ~linear; the per-shard sort is n log n on 1/8th of the data each)
+    from pyspark.sql import Window
+
+    def pack(d):
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 8
+        ).alias("shard")
+        wt = d.select(
+            "doc_id", bucket,
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+        )
+        w = (
+            Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        laid = wt.select("shard", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+        return (
+            laid.select(
+                "shard", "n_tokens",
+                F.floor((F.col("cum") - F.col("n_tokens")) / 2048).alias("pack_id"),
+            )
+            .groupBy("shard", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        )
+
+    timed(pack(d1))  # warm
+    p1 = timed(pack(d1))
+    p8 = timed(pack(d8))
+    print(f"sequence packing: {d1.count()} docs in {p1}s; {d8.count()} in {p8}s; "
+          f"8x data -> {round(p8 / max(p1, 1e-9), 1)}x time")
     spark.stop()
 
 
