@@ -216,6 +216,47 @@ def foreach_batch_upsert(writer: ParquetMergeWriter, order_col: str = "event_tim
     return _write
 
 
+def foreach_batch_fanout(
+    good_path: str,
+    dlq_path: str,
+    alert_path: str,
+    error_rate_threshold: float = 0.2,
+):
+    """One-source/multi-sink batch function: each micro-batch is
+    persisted once, routed to the cleaned sink, the DLQ, and the anomaly
+    alert sink, then unpersisted. Running three writeStream queries
+    would re-read (and re-clean) the source three times and let the
+    sinks drift to different offsets; foreachBatch fan-out costs one
+    source read and keeps all three sinks consistent per batch (the
+    reference consumer also fans a single poll out to its three topics,
+    ``kafka/streaming.py:97-117``)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good, dlq = route_streams(batch_df)
+            good.write.mode("append").parquet(good_path)
+            dlq.write.mode("append").parquet(dlq_path)
+            alerts = (
+                good.groupBy("student_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.sum(
+                        F.when(F.col("event_type") == "error_occurred", 1).otherwise(0)
+                    ).alias("n_errors"),
+                )
+                .where(
+                    F.col("n_errors") / F.col("n_events") > error_rate_threshold
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            alerts.write.mode("append").parquet(alert_path)
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
 def run_available_now(
     stream_df: DataFrame,
     sink_path: str,

@@ -373,3 +373,37 @@ def test_available_now_incremental_runs(spark, tmp_path):
         ckpt,
     )
     assert spark.read.parquet(sink).count() == 5
+
+
+def test_foreach_batch_fanout_three_sinks(spark, tmp_path):
+    src = str(tmp_path / "fan_in")
+    good_p, dlq_p, alert_p = (
+        str(tmp_path / d) for d in ("fan_good", "fan_dlq", "fan_alerts")
+    )
+    errors = [
+        {"event_id": f"err-{i}", "student_id": "STU009", "course_id": "CRS001",
+         "event_type": "error_occurred", "event_timestamp": f"2024-02-01T11:0{i}:00",
+         "duration_seconds": "10", "score": "50.0", "module_id": "MOD001",
+         "completion_percentage": "10.0"}
+        for i in range(3)
+    ]
+    write_events(src, EVENTS_BATCH_1 + errors, "b1.jsonl")
+    events = jobs.read_event_stream_json(spark, src)
+    cleaned = jobs.clean_event_stream(events, ref_ts=ref_ts())
+    q = (
+        cleaned.writeStream.foreachBatch(
+            jobs.foreach_batch_fanout(good_p, dlq_p, alert_p)
+        )
+        .option("checkpointLocation", str(tmp_path / "fan_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    good = spark.read.parquet(good_p)
+    # evt-002 (capped score) and evt-003 (unparseable score) -> DLQ
+    assert good.count() == 4
+    assert spark.read.parquet(dlq_p).count() == 2
+    alerts = spark.read.parquet(alert_p).collect()
+    # STU009 is 100% errors -> alerted; others below threshold
+    assert [r.student_id for r in alerts] == ["STU009"]
+    assert alerts[0].n_errors == 3
