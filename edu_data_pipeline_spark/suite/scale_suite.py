@@ -2093,3 +2093,91 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         dround(F.sum("d2").cast("double"), 4).alias("inertia"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions in the hot path: per-document token-length
+# profile via transform -> sort -> slice -> aggregate, all inside
+# whole-stage codegen (no explode, no shuffle — the array never leaves
+# the row). The pattern that replaces a Python "for token in doc" loop.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_length_profile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(trim(text), ' '), x -> length(x)) AS lens
+      FROM documents
+    )
+    SELECT doc_id,
+           list_sort(lens, 'DESC')[1] AS top1_len,
+           list_sort(lens, 'DESC')[2] AS top2_len,
+           list_sort(lens, 'DESC')[3] AS top3_len,
+           len(list_filter(lens, x -> x >= 8)) AS n_long,
+           CAST(list_sum(lens) AS BIGINT) AS total_chars
+    FROM t
+    """,
+)
+def docs_token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    lens = F.transform(
+        F.split(F.trim(F.col("text")), " "), lambda x: F.length(x)
+    )
+    desc = F.reverse(F.array_sort(lens))
+    return d.select(
+        "doc_id",
+        # scalar columns, not the array itself: the driver canonicalizer
+        # cannot hash array cells (the approx_user_stats r1 lesson)
+        F.element_at(desc, 1).alias("top1_len"),
+        F.element_at(desc, 2).alias("top2_len"),
+        F.element_at(desc, 3).alias("top3_len"),
+        F.size(F.filter(lens, lambda x: x >= 8)).alias("n_long"),
+        F.aggregate(lens, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "total_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the exact semantics
+# the merge upsert uses for nullable conflict keys (fact_enrollments'
+# NULL course_sk — SURVEY §7 trap 6), exhibited as an oracle-checked
+# query: NULL keys match NULL lookup rows instead of dropping.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_null_safe_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+                  ELSE o_orderpriority END AS prio_key
+      FROM orders
+    ), lk AS (
+      SELECT * FROM (VALUES ('1-URGENT', 100), ('2-HIGH', 50), (NULL, 0))
+        AS t(prio_key, boost)
+    )
+    SELECT lk.prio_key, lk.boost, count(*) AS n_orders
+    FROM o JOIN lk ON o.prio_key IS NOT DISTINCT FROM lk.prio_key
+    GROUP BY lk.prio_key, lk.boost
+    """,
+)
+def orders_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "3-MEDIUM", None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_key")
+    )
+    lk = F.broadcast(
+        o.sparkSession.createDataFrame(
+            [("1-URGENT", 100), ("2-HIGH", 50), (None, 0)], ["prio_key", "boost"]
+        )
+    )
+    return (
+        o.join(lk, o["prio_key"].eqNullSafe(lk["prio_key"]))
+        .groupBy(lk["prio_key"].alias("prio_key"), "boost")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
