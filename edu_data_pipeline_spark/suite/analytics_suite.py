@@ -1834,3 +1834,46 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass data-quality audit: every expectation (non-positive
+# amounts, nulls, duplicate keys, future dates, FK orphans) as a
+# conditional count in ONE scan + one left join — the engine-grade form
+# of the reference's per-row quality flags. At 100 TB each additional
+# expectation is one more counter in the same aggregate, not another
+# pass over the table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_quality_audit",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS n_nonpositive_price,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null_custkey,
+           count(*) - count(DISTINCT o_orderkey) AS n_dup_orderkeys,
+           count(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01 00:00:00' THEN 1 END)
+             AS n_future_dates,
+           count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphan_custkeys
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("n_nonpositive_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_null_custkey"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_dup_orderkeys"),
+        F.count(
+            F.when(
+                F.col("o_orderdate")
+                > F.lit("2002-01-01 00:00:00").cast("timestamp"),
+                1,
+            )
+        ).alias("n_future_dates"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orphan_custkeys"),
+    )
