@@ -407,3 +407,41 @@ def test_foreach_batch_fanout_three_sinks(spark, tmp_path):
     # STU009 is 100% errors -> alerted; others below threshold
     assert [r.student_id for r in alerts] == ["STU009"]
     assert alerts[0].n_errors == 3
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """The dedup state store is part of the checkpoint: a NEW query
+    started from the same checkpoint must still suppress an event_id
+    seen before the restart (exactly-once across restarts, not just
+    within one query lifetime)."""
+    src = str(tmp_path / "restart_in")
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+    write_events(src, EVENTS_BATCH_1, "b1.jsonl")
+
+    def start_query():
+        cleaned = jobs.clean_event_stream(
+            jobs.read_event_stream_json(spark, src), ref_ts=ref_ts()
+        )
+        deduped = jobs.dedup_event_stream(cleaned)
+        return (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(sink).count() == 3
+
+    # restart: replay evt-001 (dup, different payload) + one new event
+    write_events(src, EVENTS_BATCH_2, "b2.jsonl")
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == 4  # only evt-004 got through
+    assert out.where(out.event_id == "evt-001").count() == 1
