@@ -53,6 +53,9 @@ HEADLINE = [
     "daily_revenue_rolling",
     "docs_length_buckets",
     "events_grouping_sets",
+    "nation_trade_volume",
+    "user_funnel",
+    "docs_pack_sequences",
 ]
 
 
