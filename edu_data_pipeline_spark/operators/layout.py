@@ -53,3 +53,53 @@ def file_key_ranges(
         .collect()
     )
     return sorted([(r.file, r.lo, r.hi) for r in rows], key=lambda t: (t[1], t[2]))
+
+
+def morton_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer columns —
+    the cluster key that makes ONE sorted rewrite serve range predicates
+    on EITHER dimension (Delta OPTIMIZE ZORDER's core, as a native
+    column expression: shift/mask only, no UDF).
+
+    Callers quantize each dimension into [0, 2^bits) first (e.g. rank or
+    date_key bucket); the interleave places a[i] at bit 2i+1 and b[i]
+    at bit 2i, so nearby (a, b) points share long key prefixes and land
+    in the same files."""
+    from pyspark.sql import functions as F
+
+    a = col_a.cast("long")
+    b = col_b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i)
+        )
+    return key
+
+
+def compact_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    target_files: int,
+    bits: int = 16,
+) -> None:
+    """compact_sorted on the Morton key of (col_a, col_b): each output
+    file owns a compact 2-D region, so footer min/max stats prune files
+    for range filters on either column — without writing the table twice
+    (once per sort order)."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        "_zkey", morton_key(F.col(col_a), F.col(col_b), bits)
+    )
+    (
+        keyed.repartitionByRange(target_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -31,3 +31,47 @@ def test_compact_sorted_plan_uses_range_partitioning(spark, tmp_path):
     # (physical Sort prints as "Sort [<order>], <global>, <limit>")
     physical = planned._jdf.queryExecution().executedPlan().toString()
     assert "Sort [k" in physical and "], false, 0" in physical
+
+
+def test_morton_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.layout import morton_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["a", "b"])
+    z = df.select(morton_key(F.col("a"), F.col("b"), bits=3).alias("z")).first().z
+    # a=101, b=011 -> z bits (a2 b2)(a1 b1)(a0 b0) = 10 01 11 = 0b100111
+    assert z == 0b100111
+
+
+def test_compact_zordered_localizes_both_dims(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.layout import compact_zordered
+
+    out = str(tmp_path / "zordered")
+    n, files = 16384, 16
+    # two independent uniform dims in [0, 256)
+    df = spark.range(0, n).selectExpr(
+        "CAST(id * 2654435761 % 256 AS BIGINT) AS x",
+        "CAST(id * 40503 % 256 AS BIGINT) AS y",
+    )
+    compact_zordered(df, out, "x", "y", target_files=files, bits=8)
+    assert len(glob.glob(out + "/part-*.parquet")) == files
+    spans = (
+        spark.read.parquet(out)
+        .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    # Z-clustering: average per-file span in BOTH dims is well below the
+    # global span (256); a 1-D sort would leave the other dim at ~full span
+    avg_sx = sum(r.sx for r in spans) / len(spans)
+    avg_sy = sum(r.sy for r in spans) / len(spans)
+    assert avg_sx < 160 and avg_sy < 160
+    assert spark.read.parquet(out).count() == n
