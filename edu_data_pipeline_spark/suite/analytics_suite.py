@@ -1877,3 +1877,51 @@ def orders_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_future_dates"),
         F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_orphan_custkeys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total (ratio_to_report) + day-over-day deltas: two window
+# classes over the calendar-bounded daily aggregate — an unpartitioned
+# total window and lag(). Same bounded-domain rule as
+# daily_revenue_rolling: the raw fact is reduced first, windows never
+# see data-sized input.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue_deltas",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT day,
+           {sql_dround('CAST(rev_dec AS DOUBLE)', 2)} AS daily_rev,
+           {sql_dround('CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)', 2)} AS delta,
+           {sql_dround(
+               'CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER () AS DOUBLE)', 8
+           )} AS share_of_total
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+    """,
+)
+def daily_revenue_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("string").cast(DEC)).alias("rev_dec")
+    )
+    w = Window.orderBy("day")
+    total = Window.partitionBy()
+    return daily.select(
+        "day",
+        dround(F.col("rev_dec").cast("double"), 2).alias("daily_rev"),
+        dround(
+            (F.col("rev_dec") - F.lag("rev_dec").over(w)).cast("double"), 2
+        ).alias("delta"),
+        dround(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(total).cast("double"),
+            8,
+        ).alias("share_of_total"),
+    )
