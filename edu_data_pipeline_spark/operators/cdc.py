@@ -1,0 +1,52 @@
+"""CDC application: fold an insert/update/delete change feed into a
+snapshot.
+
+The reference's upserts (``dags/utils/db.py:45-65``) cover I and U;
+real change feeds (Debezium-style) also carry deletes and multiple
+changes per key per batch. ``apply_cdc`` is the full fold, Spark-first:
+
+1. last-change-wins per key — one window over (key, change order), the
+   same in-batch rule as the reference's dict-overwrite dedup;
+2. delete wins by being the last op, not by a separate pass;
+3. one anti-join + union against the snapshot — identical shuffle shape
+   to ``merge_upsert``, so swapping in Delta ``MERGE ... WHEN MATCHED
+   DELETE`` changes the writer, not the plan shape.
+
+Idempotent per batch: applying the same change feed twice yields the
+same snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["apply_cdc"]
+
+OP_COL = "_op"  # 'I' | 'U' | 'D'
+
+
+def apply_cdc(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Return the new snapshot after applying ``changes``.
+
+    ``changes`` carries the payload columns plus ``_op`` and
+    ``order_col`` (change sequence — LSN, offset, or timestamp).
+    ``snapshot`` may be None (initial load from a feed that starts with
+    inserts)."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.where(F.col(OP_COL) != "D").drop(OP_COL, order_col)
+    if snapshot is None:
+        return survivors
+    touched = latest.select(*keys)
+    untouched = snapshot.join(touched, keys, "left_anti")
+    return untouched.unionByName(survivors)
