@@ -442,6 +442,7 @@ def stream_stream_attribution(
     completed: DataFrame,
     window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: attribute each completion
     event to the SAME student's watch events in the preceding ``window``
@@ -452,7 +453,11 @@ def stream_stream_attribution(
     on both ends, so Spark can expire join state — without the interval
     bound the state store would grow forever. Scale: state is keyed by
     (student, time-range); each side buffers only ``watermark`` worth of
-    events."""
+    events. ``how="left_outer"`` additionally emits completions with NO
+    qualifying watch (NULL watch columns) once the watermark passes the
+    join window — the unmatched rows cannot be emitted earlier because a
+    match might still arrive; this is the watermark's second job beyond
+    state expiry."""
     w = (
         watched.withWatermark("event_timestamp", watermark)
         .select(
@@ -471,7 +476,7 @@ def stream_stream_attribution(
         (F.col("student_id") == F.col("w_student"))
         & (F.col("watch_ts") >= F.col("completion_ts") - F.expr(f"INTERVAL {window}"))
         & (F.col("watch_ts") < F.col("completion_ts")),
-        "inner",
+        how,
     ).select(
         "student_id", "completion_event_id", "completion_ts",
         "watch_event_id", "watch_ts",

@@ -445,3 +445,53 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == 4  # only evt-004 got through
     assert out.where(out.event_id == "evt-001").count() == 1
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer interval join: a completion with no qualifying watch is
+    emitted with NULL watch columns — but only after the watermark
+    passes, which a later batch must advance."""
+    watch_dir = str(tmp_path / "so_watch")
+    done_dir = str(tmp_path / "so_done")
+    # batch 1: a completion with NO prior watch for that student
+    write_events(done_dir, [
+        {"event_id": "done-1", "student_id": "STU077", "course_id": "C1",
+         "event_type": "quiz_completed", "event_timestamp": "2024-02-01T10:00:00",
+         "duration_seconds": "60", "score": "90", "module_id": "M1",
+         "completion_percentage": "100"}], "b1.jsonl")
+    write_events(watch_dir, [
+        {"event_id": "watch-x", "student_id": "STU001", "course_id": "C1",
+         "event_type": "video_watched", "event_timestamp": "2024-02-01T09:50:00",
+         "duration_seconds": "60", "score": "10", "module_id": "M1",
+         "completion_percentage": "5"}], "b1.jsonl")
+
+    def cleaned(path):
+        return jobs.clean_event_stream(
+            jobs.read_event_stream_json(spark, path), ref_ts=ref_ts()
+        )
+
+    joined = jobs.stream_stream_attribution(
+        cleaned(watch_dir), cleaned(done_dir),
+        window="30 minutes", watermark="10 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("so_sink")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark far past done-1's window on BOTH sides
+    late = {"event_id": "late", "student_id": "STU099", "course_id": "C1",
+            "event_type": "video_watched", "event_timestamp": "2024-02-01T13:00:00",
+            "duration_seconds": "1", "score": "1", "module_id": "M1",
+            "completion_percentage": "1"}
+    write_events(watch_dir, [late], "b2.jsonl")
+    write_events(done_dir, [dict(late, event_id="late-d",
+                                 event_type="quiz_completed")], "b2.jsonl")
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.completion_event_id: r for r in spark.table("so_sink").collect()}
+    assert "done-1" in rows
+    assert rows["done-1"].watch_event_id is None  # unmatched, NULL-joined
