@@ -2181,3 +2181,54 @@ def orders_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(lk["prio_key"].alias("prio_key"), "boost")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram frequency table: top bigrams with document frequency —
+# the vocabulary/statistics pass every corpus pipeline runs. Shingle
+# explode reuses the posexplode+lead shape (linear); the count keys on
+# the bigram itself, where AQE skew-join/agg splitting absorbs the
+# Zipfian head at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_bigram_freq",
+    oracle="""
+    WITH bi0 AS (
+      -- zip the token list against its own tail: length-robust (no
+      -- fixed series cap), one row per adjacent pair
+      SELECT doc_id, unnest(list_zip(t, list_slice(t, 2, len(t)))) AS p
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    ), bi AS (
+      SELECT doc_id, p[1] || ' ' || p[2] AS bigram FROM bi0
+      WHERE p[2] IS NOT NULL
+    )
+    SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def docs_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams by corpus frequency with document frequency,
+    deterministic (n DESC, bigram) tie-break."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "w")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", "w", F.lead("w", 1).over(w).alias("w2"))
+        .where(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2").alias("bigram"))
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
