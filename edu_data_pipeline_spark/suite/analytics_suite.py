@@ -1925,3 +1925,49 @@ def daily_revenue_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("share_of_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based estimation: total revenue estimated from a deterministic
+# 10% hash sample, scaled up, with the exact total and relative error in
+# the same row. The pattern for sub-second answers over 100 TB when ±1%
+# is acceptable — and because the sample is content-addressed (hash of
+# the key, not rand()), the estimate is reproducible across engines,
+# runs, and cluster layouts, which is what makes it oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_sample_estimate",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(28,10)) AS p,
+             (CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                   AS UINTEGER) AS BIGINT) % 10 = 0) AS in_sample
+      FROM orders
+    )
+    SELECT count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+           {sql_dround('CAST(sum(CASE WHEN in_sample THEN p END) AS DOUBLE) * 10', 2)}
+             AS est_total,
+           {sql_dround('CAST(sum(p) AS DOUBLE)', 2)} AS exact_total,
+           {sql_dround(
+               'abs(CAST(sum(CASE WHEN in_sample THEN p END) AS DOUBLE) * 10'
+               ' - CAST(sum(p) AS DOUBLE)) / CAST(sum(p) AS DOUBLE)', 6
+           )} AS rel_error
+    FROM s
+    """,
+)
+def orders_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scale_suite import _hash_bucket
+
+    o = table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("string").cast(DEC)
+    in_sample = _hash_bucket(F.col("o_orderkey"), 10) == 0
+    est = F.sum(F.when(in_sample, p)).cast("double") * 10
+    exact = F.sum(p).cast("double")
+    return o.agg(
+        F.count(F.when(in_sample, 1)).alias("n_sampled"),
+        dround(est, 2).alias("est_total"),
+        dround(exact, 2).alias("exact_total"),
+        dround(F.abs(est - exact) / exact, 6).alias("rel_error"),
+    )
