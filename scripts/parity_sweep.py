@@ -12,8 +12,11 @@ Usage: python scripts/parity_sweep.py [sf_dir] [name ...]
 
 from __future__ import annotations
 
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from edu_data_pipeline_spark.parity import compare_query, duck_connection
 from edu_data_pipeline_spark.session import get_spark
