@@ -2232,3 +2232,67 @@ def docs_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. Two hash aggregates (doc-term tf, term
+# df) + a broadcast of the scalar corpus size; the df join shuffles on
+# term (vocabulary-bounded). The score is rounded through the string
+# route BEFORE ranking so the row_number ordering (tfidf DESC, term) is
+# identical on both engines — ranking on the raw double would let a
+# 1-ulp ln() divergence flip tie order. At 100 TB: tf is a map-side
+# combined agg on (doc, term); df is vocabulary-sized and broadcastable
+# back; nothing is quadratic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             {sql_dround('tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)', 6)}
+               AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (classic smooth-free idf =
+    ln(N/df)), deterministic (rounded-score DESC, term) ranking."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            dround(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return scored.select(
+        "doc_id", "term", "tf", "df", "tfidf", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= 3)
