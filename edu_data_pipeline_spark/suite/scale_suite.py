@@ -2296,3 +2296,100 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "term", "tf", "df", "tfidf", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram: one scan, one hash agg on a derived integer
+# bucket; the share-of-total rides a partition-less window over the
+# bucket rows (bounded domain), not a second scan. floor(x / width) on a
+# double is IEEE-identical across engines, so the bucket key itself is
+# oracle-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT bucket, bucket * 50.0 AS lo, (bucket + 1) * 50.0 AS hi, n,
+           {sql_dround('CAST(n AS DOUBLE) / sum(n) OVER ()', 8)} AS share
+    FROM b
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (50-unit) value histogram with share-of-total."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return b.select(
+        "bucket",
+        (F.col("bucket") * 50.0).alias("lo"),
+        ((F.col("bucket") + 1) * 50.0).alias("hi"),
+        "n",
+        dround(F.col("n").cast("double") / F.sum("n").over(total), 8).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping token chunking (size 32, stride 16): the
+# embedding-prep twin of docs_pack_sequences (which is the training-prep
+# shape). Chunk starts come from sequence()+posexplode — linear in token
+# count, shuffle-free (narrow transforms only); the md5 chunk digest
+# makes the output oracle-exact and is the content address a downstream
+# embedding cache would key on. At 100 TB this is a map-only pass whose
+# output is ~2x the input tokens (stride = size/2), the expected ratio.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+
+
+@register(
+    "docs_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE}))
+               AS start
+      FROM t
+    ), chunks AS (
+      SELECT doc_id, CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx, start,
+             list_slice(toks, start + 1, least(start + {CHUNK_SIZE}, len(toks)))
+               AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_idx, start, len(chunk) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token chunks at stride 16 per document, with a
+    content-address digest per chunk."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_SIZE)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        "start",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
