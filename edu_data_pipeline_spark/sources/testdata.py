@@ -29,14 +29,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the parquet; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as a long. Convert to
-    # a microsecond timestamp with INTEGER division (ns ~1.7e18 overflows a
-    # double mantissa), truncating exactly like DuckDB's micro timestamps.
-    from pyspark.sql.types import LongType
+    # events.ts has shipped as TIMESTAMP(NANOS) (arriving as a long under
+    # spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false (arriving as TIMESTAMP_NTZ). Normalize both to a
+    # session-zone TIMESTAMP so downstream unix_micros()/cast('long')
+    # arithmetic type-checks; the session zone is pinned to UTC, so the NTZ
+    # cast is value-preserving and matches DuckDB's naive micro timestamps.
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # INTEGER division (ns ~1.7e18 overflows a double mantissa),
+            # truncating exactly like DuckDB's micro timestamps.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
