@@ -51,6 +51,7 @@ def get_spark(
         # --- semantics ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.timestampType", "TIMESTAMP_LTZ")
         # --- python interop: Arrow for every pandas_udf/applyInPandas ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -28,6 +28,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table, normalizing events.ts to TIMESTAMP (LTZ).
+
+    Precondition: ``spark.sql.session.timeZone`` must be UTC — the NTZ->LTZ
+    normalization below is value-preserving only then. Enforced here (not
+    just by convention via get_spark/ensure_session_confs) because table()
+    is also called directly by scripts and tests (ADVICE r2).
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts has shipped as TIMESTAMP(NANOS) (arriving as a long under
     # spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS) with
@@ -35,16 +42,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session-zone TIMESTAMP so downstream unix_micros()/cast('long')
     # arithmetic type-checks; the session zone is pinned to UTC, so the NTZ
     # cast is value-preserving and matches DuckDB's naive micro timestamps.
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     if name == "events":
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            raise RuntimeError(
+                f"events.ts normalization requires a UTC session zone, got "
+                f"{tz!r}; call ensure_session_confs(spark)/get_spark() first"
+            )
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # INTEGER division (ns ~1.7e18 overflows a double mantissa),
             # truncating exactly like DuckDB's micro timestamps.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # explicit TimestampType() — a bare cast('timestamp') resolves
+            # via spark.sql.timestampType and would no-op if a session set
+            # that conf to TIMESTAMP_NTZ (ADVICE r2)
+            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 

@@ -40,6 +40,9 @@ REQUIRED_RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.ansi.enabled": "false",
+    # keep bare cast('timestamp') = TIMESTAMP_LTZ even if a caller session
+    # flipped the default timestamp type (ADVICE r2)
+    "spark.sql.timestampType": "TIMESTAMP_LTZ",
 }
 
 

@@ -180,3 +180,50 @@ def test_kafka_availability_probe(spark):
     # sandbox has no connector jar; the probe must answer (False here)
     # without raising — on a real cluster it gates start_kafka_pipeline
     assert kafka_available(spark) is False
+
+
+def test_full_contract_golden(spark):
+    """Golden-file snapshot of the COMPLETE wiring contract (VERDICT r2
+    #5): source options, every sink's full option dict (including the
+    dlq-invalid validation-failure sink start_kafka_pipeline adds), the
+    routing fan-out, and the DLQ {event, error} payload shape. A refactor
+    that drops or renames any of these diffs against
+    tests/golden/kafka_contract.json instead of failing silently."""
+    import pathlib
+
+    from edu_data_pipeline_spark.streaming.jobs import enrich_event_stream
+
+    golden = json.loads(
+        (pathlib.Path(__file__).parent / "golden" / "kafka_contract.json").read_text()
+    )
+    cfg = KafkaConfig(bootstrap_servers="broker:9092", checkpoint_root="/ckpt")
+
+    batch = _kafka_batch(spark, [GOOD_EVENT, "{not json"])
+    parsed = parse_kafka_events(batch)
+    cleaned = parsed.where("parse_ok")
+    alerts = cleaned.withColumn("anomaly", F.lit(True))
+    routing = build_topic_routing(
+        cleaned, dlq_records(parsed), alerts, cfg,
+        enriched=enrich_event_stream(cleaned),
+    )
+
+    actual = {
+        "source_options": kafka_source_options(cfg),
+        "sink_options": {
+            **{
+                sink: kafka_sink_options(cfg, topic, sink)
+                for sink, topic, _ in routing
+            },
+            # start_kafka_pipeline's extra validation-failure DLQ sink
+            "dlq-invalid": kafka_sink_options(cfg, cfg.dlq_topic, "dlq-invalid"),
+        },
+        "routing": [[sink, topic] for sink, topic, _ in routing],
+        "record_columns": sorted(
+            set.union(*[set(records.columns) for _, _, records in routing])
+        ),
+        "dlq_payload_keys": sorted(
+            json.loads(dlq_records(parsed).collect()[0]["value"])
+        ),
+        "dlq_payload_example": json.loads(dlq_records(parsed).collect()[0]["value"]),
+    }
+    assert actual == golden

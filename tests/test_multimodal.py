@@ -57,3 +57,38 @@ def test_resize_and_frame_sampling(spark):
     # doc 2 is video with n_frames = 2 % 30 + 1 = 3 -> frames 0,1,2
     assert {(2, 0), (2, 1), (2, 2)} <= got
     assert all(doc_id % 3 == 2 for doc_id, _ in got)  # only video rows
+
+
+def test_features_shuffle_invariant(spark):
+    """Property (VERDICT r2 #6): the fake decoder's features must be a pure
+    function of the payload — identical under any repartitioning (i.e.
+    invariant to Arrow batch boundaries and partition assignment), and over
+    randomized payload shapes, not just the fixture corpus."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    for i in range(40):
+        n = rng.randint(0, 300)
+        text = "".join(chr(rng.randint(32, 0x24F)) for _ in range(n))
+        rows.append((i, text, "xx", "prop", n))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    media = multimodal.attach_fake_media(docs)
+
+    def fingerprint(df):
+        return sorted(
+            (r.doc_id, r.media_type, r.n_bytes, tuple(r.features))
+            for r in multimodal.extract_features(df).collect()
+        )
+
+    base = fingerprint(media)
+    assert base == fingerprint(media.repartition(17))
+    assert base == fingerprint(media.repartition(1))
+    assert base == fingerprint(media.repartitionByRange(5, "doc_id"))
+    # and the reference python decode agrees cell-for-cell
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for doc_id, _, n_bytes, feats in base:
+        assert list(feats) == multimodal._decode_fake(payloads[doc_id])
+        assert n_bytes == len(payloads[doc_id])
