@@ -1,0 +1,106 @@
+"""Distributed connected components for the near-dup graph.
+
+The dedup pipeline's final step labels each document with its cluster
+(component) so one representative per cluster survives. The reference has
+no graph machinery (its dedup is exact-key only, dags/data_cleaning_pipeline.py:40-60);
+this operator exists for the near-dup (MinHash/SimHash) families, where
+"duplicate-of" is a graph reachability question.
+
+Two iteration schemes, both pure DataFrame ops (one shuffle family per
+round, Pregel-style driver loop):
+
+- ``min_label``: every vertex takes the minimum label in its closed
+  neighborhood each round. Converges in O(diameter) rounds — fine for
+  near-dup graphs (tiny, dense clusters; diameter 2-3), but a worst-case
+  CHAIN of length L needs L rounds (measured: scripts/scale_smoke.py).
+- ``pointer_jump`` (default): the same neighborhood-min step followed by
+  one label-through-label join (label(v) <- label(label(v))). The label
+  chain contracts exponentially, so rounds are O(log diameter) — the
+  classic pointer-doubling trick (Shiloach-Vishkin lineage; same round
+  complexity class as the large-star/small-star MapReduce scheme of
+  Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+Scale notes: each round is two equi-join shuffles plus a count; lineage
+is cut per round with localCheckpoint so plans stay O(1) deep. The jump
+join shuffles on the component id — for near-dup corpora components are
+small by construction, so no skew; a corpus with giant components would
+salt this join or switch to the star-contraction scheme.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize_edges(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """(a,b) pair list -> both directions, as (src, dst)."""
+    return edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).unionByName(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+
+
+def connected_components(
+    vertices: DataFrame,
+    sym_edges: DataFrame,
+    *,
+    vertex_col: str = "doc_id",
+    max_rounds: int = 64,
+    pointer_jump: bool = True,
+) -> tuple[DataFrame, int]:
+    """Label every vertex with min(vertex id) of its component.
+
+    ``vertices`` needs column ``vertex_col``; ``sym_edges`` needs
+    (src, dst) BOTH directions (see :func:`symmetrize_edges`). Returns
+    ``(labels, rounds_used)`` where labels has (vertex_col, component).
+
+    Invariant: a vertex's label is always the id of some vertex in its
+    own component and only ever decreases, so the fixpoint (no change
+    across a round) is exactly the per-component minimum: at fixpoint
+    every edge (u,v) has label(u) <= label(v) and vice versa.
+    """
+    sym = sym_edges.localCheckpoint()  # freeze (possibly expensive) lineage
+    labels = vertices.select(
+        F.col(vertex_col).alias("doc_id"), F.col(vertex_col).alias("component")
+    )
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+        )
+        if pointer_jump:
+            # label(v) <- label(label(v)): labels are vertex ids, so the
+            # lookup is a self-join; composing the contraction with the
+            # 1-hop propagation doubles the reach per round.
+            jump = updated.select(
+                F.col("doc_id").alias("j_id"), F.col("component").alias("j_comp")
+            )
+            updated = updated.join(
+                jump, updated.component == jump.j_id, "left"
+            ).select(
+                "doc_id",
+                F.coalesce(F.col("j_comp"), F.col("component")).alias("component"),
+            )
+        updated = updated.localCheckpoint()  # cut per-round lineage growth
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    if vertex_col != "doc_id":
+        labels = labels.withColumnRenamed("doc_id", vertex_col)
+    return labels, rounds

@@ -739,47 +739,18 @@ _SQL_COMPONENT_CTES = f"""
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final dedup step: connected components over the verified
     near-dup graph, keeping min(doc_id) as each cluster's representative.
-    Iterative min-label propagation — each round every vertex takes the
-    minimum label in its neighborhood, converging in O(diameter) rounds
-    (the driver loops; each round is one shuffle, the standard Spark
-    pattern for Pregel-style algorithms). The DuckDB oracle computes the
-    same fixpoint via a recursive-CTE transitive closure — tractable at
-    oracle scale, while the Spark path scales to corpus size."""
+    Pointer-jumping label propagation (operators/graph.py): each round is
+    a neighborhood-min plus a label-through-label contraction, so rounds
+    are O(log diameter) — a pathological chain topology converges in
+    ~log2(L) rounds instead of L (probed in scripts/scale_smoke.py,
+    recorded in SCALE.md). The DuckDB oracle computes the same fixpoint
+    via a recursive-CTE transitive closure — tractable at oracle scale,
+    while the Spark path scales to corpus size."""
+    from ..operators.graph import connected_components, symmetrize_edges
+
     d = table(spark, sf_dir, "documents").select("doc_id")
     edges = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()  # freeze the (expensive) LSH+verify lineage once
-    )
-    labels = d.select("doc_id", F.col("doc_id").alias("component"))
-    for _ in range(32):  # diameter bound; tiny clusters converge in 2-3
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-        )
-        updated = updated.localCheckpoint()  # cut lineage growth per round
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+    labels, _ = connected_components(d, symmetrize_edges(edges))
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_representative")
     )

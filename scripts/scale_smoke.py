@@ -114,6 +114,35 @@ def main():
     p8 = timed(pack(d8))
     print(f"sequence packing: {d1.count()} docs in {p1}s; {d8.count()} in {p8}s; "
           f"8x data -> {round(p8 / max(p1, 1e-9), 1)}x time")
+
+    # connected components: round count vs topology (VERDICT r2 #7).
+    # Worst case for plain min-label propagation is one long CHAIN —
+    # the min label creeps one hop per round, so rounds == chain length.
+    # The shipped pointer-jumping variant contracts label chains
+    # exponentially: rounds ~ log2(L). Probe both on synthetic chains.
+    from edu_data_pipeline_spark.operators.graph import (
+        connected_components, symmetrize_edges,
+    )
+
+    for n in (64, 256, 1024):
+        verts = spark.range(n).select(F.col("id").alias("doc_id"))
+        chain = verts.where("doc_id > 0").select(
+            (F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        sym = symmetrize_edges(chain)
+        t0 = time.perf_counter()
+        labels, r_jump = connected_components(verts, sym, pointer_jump=True)
+        n_comp = labels.select("component").distinct().count()
+        t_jump = round(time.perf_counter() - t0, 2)
+        assert n_comp == 1, f"chain must collapse to 1 component, got {n_comp}"
+        # plain propagation, capped so the worst case can't run away
+        cap = 40
+        _, r_plain = connected_components(
+            verts, sym, pointer_jump=False, max_rounds=cap
+        )
+        plain = f"{r_plain}" if r_plain < cap else f">={cap} (capped)"
+        print(f"connected components, chain L={n}: pointer_jump={r_jump} "
+              f"rounds ({t_jump}s); plain min-label={plain} rounds")
     spark.stop()
 
 
