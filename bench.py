@@ -56,6 +56,11 @@ HEADLINE = [
     "nation_trade_volume",
     "user_funnel",
     "docs_pack_sequences",
+    # round-3 additions: duplicated-span profile, incremental dedup,
+    # batch in-cell ANN
+    "docs_dup_spans",
+    "docs_incremental_dedup",
+    "knn_batch_ivf",
 ]
 
 

@@ -2411,3 +2411,289 @@ def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus rebalancing: per-language stratified hash sampling. Training-data
+# mixes routinely downsample over-represented languages; the keep/drop
+# decision must be a pure function of the document id (reproducible,
+# shuffle-free, re-runnable on a grown corpus without resampling old
+# docs). One map-side predicate per row — no shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+
+# keep-rate per language as an INTEGER uint32 threshold (rate * 2^32),
+# so both engines compare the same md5-derived integer — no float rates
+STRATA_THRESHOLDS = {
+    "en": 858993459,  # 20% — over-represented, downsample hard
+    "de": 2147483648,  # 50%
+    "fr": 2147483648,  # 50%
+    "es": 2147483648,  # 50%
+}
+STRATA_DEFAULT_THRESHOLD = 4294967296  # keep everything else (zh, ...)
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, source,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS UINTEGER) AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM hashed
+    WHERE h < CASE lang
+      {" ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_THRESHOLDS.items())}
+      ELSE {STRATA_DEFAULT_THRESHOLD} END
+    """,
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample: keep doc iff
+    uint32(md5(doc_id)[:8]) < rate_for(lang) * 2^32. Thresholds are
+    integer literals so Spark and the oracle compare identical values."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    thr = F.lit(STRATA_DEFAULT_THRESHOLD)
+    for lang, t in STRATA_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return d.where(h < thr).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (the exact-substring side of training
+# -data dedup, in the spirit of Lee et al.'s "Deduplicating Training Data
+# Makes Language Models Better"): a position is "duplicated" when the
+# k-token gram starting there also appears in ANOTHER document. Linear
+# pipeline — gram df via one hash agg, join back, per-doc agg; never a
+# doc-pair join, so templated corpora cannot blow it up.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 8  # tokens per gram
+
+
+@register(
+    "docs_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, len(t) - {DUP_SPAN_K} + 2),
+               i -> array_to_string(list_slice(t, i, i + {DUP_SPAN_K} - 1), ' ')
+             )) AS g
+      FROM toks WHERE len(t) >= {DUP_SPAN_K}
+    ), gdf AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    ), marked AS (
+      SELECT grams.doc_id, (gdf.df >= 2) AS dup
+      FROM grams JOIN gdf ON grams.g = gdf.g
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           {sql_dround("sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)}
+             AS dup_ratio
+    FROM marked GROUP BY doc_id
+    """,
+)
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span profile over 8-token grams.
+
+    gram-df >= 2 (another doc shares the exact 8-token span) marks the
+    position duplicated; output is each doc's duplicated-position count
+    and ratio — the signal exact-substring dedup pipelines threshold on.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [
+        F.lead("t", i).over(w).alias(f"t{i}") for i in range(1, DUP_SPAN_K)
+    ]
+    grams = (
+        toks.select("doc_id", "pos", *parts)
+        .where(F.col(f"t{DUP_SPAN_K - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ", "t", *[f"t{i}" for i in range(1, DUP_SPAN_K)]
+            ).alias("g"),
+        )
+    )
+    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    marked = grams.join(gdf, "g").select("doc_id", (F.col("df") >= 2).alias("dup"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
+        dround(
+            F.sum(F.col("dup").cast("long")) * 1.0 / F.count(F.lit(1)), 4
+        ).alias("dup_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN within IVF cells: top-3 neighbors for EVERY query vector in
+# one pass, searching only the query's own cell (labels stand in for
+# learned IVF cells, as in knn_ivf). The whole batch is ONE equi-join on
+# the cell id — parallel across queries and cells, no per-query driver
+# loop, no nested-loop join anywhere.
+# ---------------------------------------------------------------------------
+
+KNN_BATCH_QUERY_MOD = 50  # every 50th vector is a query
+KNN_BATCH_TOPK = 3
+
+_BATCH_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "knn_batch_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label, emb AS qv FROM e
+      WHERE vec_id % {KNN_BATCH_QUERY_MOD} = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             {_BATCH_COS.format(a="e.emb", b="q.qv")} AS cos
+      FROM q JOIN e ON e.label = q.label AND e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, label,
+             CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, cosine, rnk FROM ranked
+    WHERE rnk <= {KNN_BATCH_TOPK}
+    """,
+)
+def knn_batch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 same-cell neighbors for every query vector in one equi-join.
+
+    The scale path for bulk ANN: queries and corpus co-shuffle on the
+    cell id once, each cell scores its own queries (cells are
+    corpus/n_cells sized), and a per-query window takes the top-k with a
+    deterministic (cos DESC, vec_id) order. Contrast with the per-query
+    probe of knn_ivf (single lookup) and knn_bruteforce (full-scan
+    baseline)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") % KNN_BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("qv"),
+    )
+    scored = q.join(
+        e, (e.label == q.q_label) & (e.vec_id != q.query_id)
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        _cosine(F.col("emb"), F.col("qv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= KNN_BATCH_TOPK)
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            dround(F.col("cos"), 6).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: flag NEW documents that near-duplicate the
+# EXISTING corpus without re-pairing the corpus against itself. The
+# corpus side's band keys are exactly what a production pipeline keeps as
+# its standing dedup index; each ingest batch only hashes itself and
+# semi-joins the index — cost scales with the batch, not the corpus.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 10  # doc_id % 10 == 9 plays the incoming batch
+
+
+@register(
+    "docs_incremental_dedup",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    ), new_bands AS (
+      SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}
+    ), corpus_bands AS (
+      SELECT * FROM bands WHERE doc_id % {INCR_BATCH_MOD} != {INCR_BATCH_MOD - 1}
+    ), hits AS (
+      SELECT n.doc_id, count(DISTINCT c.doc_id) AS n_corpus_matches
+      FROM new_bands n JOIN corpus_bands c
+        ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+      GROUP BY n.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_corpus_matches, 0) AS n_corpus_matches,
+           (h.doc_id IS NOT NULL) AS is_dup_candidate
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {INCR_BATCH_MOD} = {INCR_BATCH_MOD - 1}) d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup flags for an ingest batch against the standing corpus.
+
+    Both sides share one signature computation here (the corpus index
+    would be precomputed in production); the candidate test is an
+    equi-join on (band_idx, band_key) between batch and corpus bands —
+    never batch x batch or corpus x corpus. Output: every batch doc with
+    how many distinct corpus docs it collides with."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_df(d)
+    stack_args = ", ".join(
+        "{}, concat_ws('|', {})".format(
+            b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
+        )
+        for b in range(N_BANDS)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
+    )
+    is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_MOD - 1
+    new_bands = bands.where(is_batch)
+    corpus_bands = bands.where(~is_batch)
+    hits = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("c.doc_id")).alias("n_corpus_matches"))
+    )
+    batch_docs = d.where(is_batch).select("doc_id")
+    return (
+        batch_docs.join(hits.withColumnRenamed("doc_id", "h_id"),
+                        batch_docs.doc_id == F.col("h_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).alias("n_corpus_matches"),
+            F.col("h_id").isNotNull().alias("is_dup_candidate"),
+        )
+    )
