@@ -61,6 +61,7 @@ HEADLINE = [
     "docs_dup_spans",
     "docs_incremental_dedup",
     "knn_batch_ivf",
+    "docs_unigram_logprob",
 ]
 
 

@@ -2697,3 +2697,114 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h_id").isNotNull().alias("is_dup_candidate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quality filtering: L2-norm outliers per IVF cell. Broken
+# embeddings (zeroed, saturated, wrong scale) show up as norm outliers;
+# the Tukey fence per cell is two exact percentiles over a per-cell norm
+# distribution — one hash agg per cell plus a broadcast-back of the tiny
+# per-cell fence table. All comparisons run on identically-quantized
+# values so the flag can never straddle an engine rounding difference.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             {sql_dround('sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))', 6)} AS norm
+      FROM embeddings
+    ), fences AS (
+      SELECT label,
+             {sql_dround('quantile_cont(norm, 0.25) - 1.5 * (quantile_cont(norm, 0.75) - quantile_cont(norm, 0.25))', 6)} AS lo,
+             {sql_dround('quantile_cont(norm, 0.75) + 1.5 * (quantile_cont(norm, 0.75) - quantile_cont(norm, 0.25))', 6)} AS hi
+      FROM e GROUP BY label
+    )
+    SELECT e.vec_id, e.label, e.norm,
+           (e.norm < f.lo OR e.norm > f.hi) AS is_outlier
+    FROM e JOIN fences f ON e.label = f.label
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Tukey-fence outlier flags on embedding L2 norms.
+
+    Norms are quantized (dround 6) BEFORE the percentile/fence math and
+    the comparison, so both engines flag from identical inputs. The
+    fences table is |cells| rows — broadcast back to the full set."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        dround(
+            F.sqrt(_dot(F.col("embedding").cast("array<double>"),
+                        F.col("embedding").cast("array<double>"))),
+            6,
+        ).alias("norm"),
+    )
+    q1 = F.expr("percentile(norm, 0.25)")
+    q3 = F.expr("percentile(norm, 0.75)")
+    fences = e.groupBy("label").agg(
+        dround(q1 - 1.5 * (q3 - q1), 6).alias("lo"),
+        dround(q3 + 1.5 * (q3 - q1), 6).alias("hi"),
+    )
+    return e.join(F.broadcast(fences), "label").select(
+        "vec_id",
+        "label",
+        "norm",
+        ((F.col("norm") < F.col("lo")) | (F.col("norm") > F.col("hi"))).alias(
+            "is_outlier"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-free perplexity proxy: per-document mean unigram surprisal under
+# the corpus's own token distribution (-ln p(t), p from one tf pass).
+# The standard cheap quality score when no LM is available: gibberish and
+# rare-token spam score high, templated boilerplate scores low. Linear:
+# one vocabulary hash agg, one join back on token, one per-doc agg; the
+# corpus total rides a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT t, count(*) AS tf FROM toks GROUP BY t
+    ), tot AS (
+      SELECT count(*) AS n_total FROM toks
+    ), scored AS (
+      SELECT toks.doc_id, ln(CAST(n_total AS DOUBLE) / tf.tf) AS surprisal
+      FROM toks JOIN tf ON toks.t = tf.t CROSS JOIN tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           {sql_davg("surprisal", 6)} AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token -ln p(token) per document, p = corpus unigram MLE.
+
+    The surprisal sum routes through DECIMAL(28,10) (davg) so the
+    per-document mean is independent of partition order on both engines;
+    ln() gets bit-identical arguments (a double ratio of two bigints)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        toks.join(tf, "t")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("n_total").cast("double") / F.col("tf")).alias("surprisal"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        davg(F.col("surprisal"), 6).alias("avg_surprisal"),
+    )
