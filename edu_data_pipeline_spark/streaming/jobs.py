@@ -481,3 +481,81 @@ def stream_stream_attribution(
         "student_id", "completion_event_id", "completion_ts",
         "watch_event_id", "watch_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup screening: incoming documents vs the standing corpus
+# dedup index (the streaming twin of suite.scale_suite.docs_incremental_dedup)
+# ---------------------------------------------------------------------------
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_doc_stream_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """Document ingest stream (file-replay stand-in for the ingest topic)."""
+    return (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def streaming_shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) word-3-gram rows, streaming-safe.
+
+    The batch shingler (suite.scale_suite._shingle_rows) uses a window
+    (lead over doc_id/pos), which streaming append mode cannot run. This
+    variant explodes start positions and slices the token ARRAY: the
+    Generate (explode) materializes the token array once per document
+    row, so the downstream slice reads a bound attribute — linear per
+    document, no re-inlined split, no window, no state."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    ).where(F.size("toks") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("i"), 3), " ").alias("s")
+    )
+
+
+def corpus_shingle_index(corpus_docs: DataFrame) -> DataFrame:
+    """The standing dedup index: the corpus's DISTINCTIVE (df-capped)
+    shingles with owning doc ids — exactly the candidate-generation side
+    of the batch near-dup pipeline, materialized once per index build.
+    Columns: (corpus_doc_id, s)."""
+    from ..suite.scale_suite import _stop_filtered_shingles
+
+    return _stop_filtered_shingles(corpus_docs).select(
+        F.col("doc_id").alias("corpus_doc_id"), "s"
+    )
+
+
+def screen_docs_stream(doc_stream: DataFrame, index: DataFrame) -> DataFrame:
+    """Near-dup collision stream: one row per (incoming doc, corpus doc,
+    shared distinctive shingle). Stream-static equi-join on the shingle —
+    stateless, append-mode, each micro-batch a hash join against the
+    index; parallelism follows the shingle hash partitioning at any
+    corpus size. Roll up to doc granularity in the sink's foreachBatch
+    (aggregations are unrestricted there), e.g. with
+    ``collision_rollup``."""
+    return streaming_shingle_rows(doc_stream).join(index, "s").select(
+        "doc_id", "corpus_doc_id", "s"
+    )
+
+
+def collision_rollup(hits: DataFrame) -> DataFrame:
+    """Per incoming doc: distinct corpus docs collided with (run inside
+    foreachBatch on each micro-batch, or on the screened parquet)."""
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("corpus_doc_id").alias("n_corpus_matches")
+    )

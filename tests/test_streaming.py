@@ -495,3 +495,58 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     rows = {r.completion_event_id: r for r in spark.table("so_sink").collect()}
     assert "done-1" in rows
     assert rows["done-1"].watch_event_id is None  # unmatched, NULL-joined
+
+
+def test_stream_incremental_dedup_screen(spark, tmp_path):
+    """Streaming twin of docs_incremental_dedup: an incoming doc that
+    shares a distinctive 3-gram with the corpus must produce collision
+    rows; a novel doc must not. Doc-level rollup happens per micro-batch
+    in foreachBatch."""
+    import json as _json
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    index = jobs.corpus_shingle_index(corpus)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 100, "text": "alpha beta gamma delta NEW TAIL HERE"},  # dup of 1
+        {"doc_id": 101, "text": "totally novel words with no overlap at all"},
+    ]
+    (src / "batch0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = jobs.read_doc_stream_json(spark, str(src))
+    hits = jobs.screen_docs_stream(stream, index)
+
+    rollups = []
+    q = (
+        hits.writeStream.foreachBatch(
+            lambda b, _id: rollups.extend(jobs.collision_rollup(b).collect())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_doc = {r["doc_id"]: r["n_corpus_matches"] for r in rollups}
+    assert by_doc.get(100) == 1, by_doc  # collided with corpus doc 1 only
+    assert 101 not in by_doc  # novel doc produced no collision rows
+
+
+def test_streaming_shingles_match_batch(spark):
+    """The streaming (explode+slice) shingler must produce the same
+    (doc_id, shingle) multiset as the batch (window+lead) one."""
+    from edu_data_pipeline_spark.suite.scale_suite import _shingle_rows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, jobs.streaming_shingle_rows(docs).collect()))
+    b = sorted(map(tuple, _shingle_rows(docs).collect()))
+    assert a == b
