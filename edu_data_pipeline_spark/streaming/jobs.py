@@ -508,24 +508,12 @@ def read_doc_stream_json(
 
 
 def streaming_shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, s) word-3-gram rows, streaming-safe.
+    """(doc_id, s) word-3-gram rows — the SAME shuffle-free explode+slice
+    builder the batch pipeline uses (suite.scale_suite.gram_rows), which
+    is also streaming-append-safe: no window, no state."""
+    from ..suite.scale_suite import gram_rows
 
-    The batch shingler (suite.scale_suite._shingle_rows) uses a window
-    (lead over doc_id/pos), which streaming append mode cannot run. This
-    variant explodes start positions and slices the token ARRAY: the
-    Generate (explode) materializes the token array once per document
-    row, so the downstream slice reads a bound attribute — linear per
-    document, no re-inlined split, no window, no state."""
-    toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
-    ).where(F.size("toks") >= 3)
-    return toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - 2)).alias("i"),
-        "toks",
-    ).select(
-        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("i"), 3), " ").alias("s")
-    )
+    return gram_rows(docs, 3)
 
 
 def corpus_shingle_index(corpus_docs: DataFrame) -> DataFrame:

@@ -279,34 +279,39 @@ _SQL_SHINGLES = """
 """
 
 
-def _shingle_rows(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) rows of word-3-grams, WITH duplicates.
+def gram_rows(d: DataFrame, k: int, out: str = "s") -> DataFrame:
+    """(doc_id, k-token gram) rows, WITH duplicates, shuffle-free.
 
-    posexplode + two ``lead()`` over (doc_id, pos) — linear in corpus
-    size. The obvious array-building alternatives are traps measured at
-    sf0.1: inlining the split into per-element ``element_at`` is quadratic
-    per document (Catalyst's projection-collapse re-inlines it even if the
-    token array is a separate projection), and ``array_distinct`` is O(n²)
-    per row. 4-6x faster end-to-end, and the window's doc_id shuffle is
-    REUSED by the downstream per-doc aggregation — no extra exchange.
+    explode(start positions) + slice on the token ARRAY: the Generate
+    (explode) materializes the token array once per document row, so the
+    downstream slice reads a bound attribute — linear per document, no
+    shuffle at all. Measured at sf0.1 this is 2.2x faster than the
+    previous window+lead scheme standalone (0.16s vs 0.36s) and equal
+    when a per-doc aggregation follows (the agg pays the doc_id shuffle
+    either way); at cluster scale it removes a full wide exchange for
+    every shingle-join consumer. The per-element alternatives stay
+    traps: inlining the split into per-element ``element_at`` is
+    quadratic per document (Catalyst's projection-collapse re-inlines
+    it), and ``array_distinct`` is O(n²) per row.
 
     Duplicates are kept: MinHash minima are set-invariant; set consumers
     call ``.distinct()`` (one hash shuffle, O(n log n)).
     """
-    toks = d.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= k
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            "t",
-            F.lead("t", 1).over(w).alias("t1"),
-            F.lead("t", 2).over(w).alias("t2"),
-        )
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "t", "t1", "t2").alias("s"))
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+        "toks",
+    ).select(
+        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ").alias(out)
     )
+
+
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows of word-3-grams, WITH duplicates."""
+    return gram_rows(d, 3)
 
 
 def _distinct_shingles(d: DataFrame) -> DataFrame:
@@ -1688,7 +1693,7 @@ _SQL_SHINGLES_DUP = """
 def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-3-gram ratio — the standard repetition quality signal
     (templated/spun text repeats shingles; clean prose rarely does).
-    Shares the linear posexplode+lead shingle stage; one groupBy doc with
+    Shares the linear explode+slice shingle stage; one groupBy doc with
     a count-distinct — no joins, no candidate generation."""
     d = table(spark, sf_dir, "documents")
     sh = _shingle_rows(d)
@@ -2507,22 +2512,7 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ratio — the signal exact-substring dedup pipelines threshold on.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("t")] + [
-        F.lead("t", i).over(w).alias(f"t{i}") for i in range(1, DUP_SPAN_K)
-    ]
-    grams = (
-        toks.select("doc_id", "pos", *parts)
-        .where(F.col(f"t{DUP_SPAN_K - 1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.concat_ws(
-                " ", "t", *[f"t{i}" for i in range(1, DUP_SPAN_K)]
-            ).alias("g"),
-        )
-    )
+    grams = gram_rows(d, DUP_SPAN_K, out="g")
     gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
     marked = grams.join(gdf, "g").select("doc_id", (F.col("df") >= 2).alias("dup"))
     return marked.groupBy("doc_id").agg(
