@@ -2798,3 +2798,233 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         davg(F.col("surprisal"), 6).alias("avg_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-ID quality: confusion matrix of the n-gram heuristic against the
+# labeled language — the monitoring query a corpus pipeline runs to decide
+# whether the cheap classifier is good enough per language before routing.
+# One groupBy over the scored scan; share-of-actual rides a bounded window.
+# ---------------------------------------------------------------------------
+
+_SQL_LANG_GUESS = """
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS tokens FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(tokens, t -> t IN ('the', 'a', 'and'))) AS en_hits,
+             len(list_filter(tokens, t -> t IN ('der', 'und', 'die'))) AS de_hits,
+             len(list_filter(tokens, t -> t IN ('le', 'la', 'et')))   AS fr_hits,
+             len(list_filter(tokens, t -> t IN ('el', 'los', 'y')))   AS es_hits
+      FROM toks
+    ), guessed AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+                  WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+                  WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+                  WHEN fr_hits >= es_hits THEN 'fr'
+                  ELSE 'es' END AS guessed_lang
+      FROM scores
+    )
+"""
+
+
+@register(
+    "docs_lang_confusion",
+    oracle=f"""{_SQL_LANG_GUESS}
+    SELECT lang, guessed_lang, count(*) AS n,
+           {sql_dround('count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang)', 6)}
+             AS share_of_actual
+    FROM guessed GROUP BY lang, guessed_lang
+    """,
+)
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(actual lang, guessed lang) counts + within-language share."""
+    scored = docs_lang_id(spark, sf_dir)
+    counts = scored.groupBy("lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "guessed_lang",
+        "n",
+        dround(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("share_of_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Estimator calibration: MinHash-estimated Jaccard (fraction of agreeing
+# signature components) vs the exact value, per verified candidate pair.
+# The report that justifies the banding parameters: |est - exact| stays
+# inside the 1/sqrt(k) band. Costs one 16-column signature self-join over
+# the (tiny) candidate set.
+# ---------------------------------------------------------------------------
+
+_SQL_SIG_AGREE = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+)
+
+
+@register(
+    "minhash_estimate_accuracy",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    ), agree AS (
+      SELECT c.doc_a, c.doc_b, ({_SQL_SIG_AGREE}) AS n_agree
+      FROM cand c
+      JOIN sigs a ON a.doc_id = c.doc_a
+      JOIN sigs b ON b.doc_id = c.doc_b
+    )
+    SELECT g.doc_a, g.doc_b,
+           {sql_dround(f'g.n_agree * 1.0 / {N_HASHES}', 4)} AS est_jaccard,
+           {sql_dround('m.n_common * 1.0 / (sa.n_sh + sb.n_sh - m.n_common)', 4)}
+             AS exact_jaccard,
+           {sql_dround(f'abs(g.n_agree * 1.0 / {N_HASHES} - m.n_common * 1.0 / (sa.n_sh + sb.n_sh - m.n_common))', 4)}
+             AS abs_err
+    FROM agree g
+    JOIN common m ON m.doc_a = g.doc_a AND m.doc_b = g.doc_b
+    JOIN sizes sa ON sa.doc_id = g.doc_a
+    JOIN sizes sb ON sb.doc_id = g.doc_b
+    """,
+)
+def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per candidate pair: signature-agreement Jaccard estimate vs exact."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_df(d)
+    cand = _band_pairs(sigs)
+    exploded = _distinct_shingles(d)
+    sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa_sig = sigs.alias("sa_sig")
+    sb_sig = sigs.alias("sb_sig")
+    n_agree = sum(
+        (F.col(f"sa_sig.sig_{i}") == F.col(f"sb_sig.sig_{i}")).cast("int")
+        for i in range(N_HASHES)
+    )
+    agree = (
+        cand.join(sa_sig, cand.doc_a == F.col("sa_sig.doc_id"))
+        .join(sb_sig, cand.doc_b == F.col("sb_sig.doc_id"))
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+    )
+    sz_a = sizes.alias("sz_a")
+    sz_b = sizes.alias("sz_b")
+    est = F.col("n_agree") * 1.0 / N_HASHES
+    exact = F.col("n_common") * 1.0 / (
+        F.col("sz_a.n_sh") + F.col("sz_b.n_sh") - F.col("n_common")
+    )
+    return (
+        agree.join(common, ["doc_a", "doc_b"])
+        .join(sz_a, F.col("doc_a") == F.col("sz_a.doc_id"))
+        .join(sz_b, F.col("doc_b") == F.col("sz_b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dround(est, 4).alias("est_jaccard"),
+            dround(exact, 4).alias("exact_jaccard"),
+            dround(F.abs(est - exact), 4).alias("abs_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor: per-cell centroid shift between two
+# deterministic halves of the corpus (stand-in for yesterday/today
+# snapshots). The production data-drift alarm for an embedding pipeline:
+# a re-run encoder or upstream distribution change moves cell centroids.
+# Decimal-quantized means keep both engines' centroids identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, vec_id % 2 AS half, embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ), pos AS (
+      SELECT vec_id, label, half, generate_subscripts(emb, 1) AS pos,
+             unnest(emb) AS x
+      FROM e
+    ), cent AS (
+      SELECT label, half, pos,
+             CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(x) AS cx,
+             count(DISTINCT vec_id) AS n_vecs
+      FROM pos GROUP BY label, half, pos
+    ), paired AS (
+      SELECT a.label, a.pos, a.cx AS cx0, b.cx AS cx1,
+             a.n_vecs AS n_a, b.n_vecs AS n_b
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           max(n_a) AS n_even, max(n_b) AS n_odd,
+           {sql_dround('sqrt(sum((cx0 - cx1) * (cx0 - cx1)))', 6)} AS centroid_l2_shift
+    FROM paired GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 distance between per-cell centroids of the even/odd halves."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    pos = e.select(
+        "vec_id", "label", "half", F.posexplode("emb").alias("pos0", "x")
+    ).select("vec_id", "label", "half", (F.col("pos0") + 1).alias("pos"), "x")
+    cx = (
+        F.sum(F.col("x").cast("string").cast("decimal(28,10)")).cast("double")
+        / F.count("x")
+    )
+    cent = pos.groupBy("label", "half", "pos").agg(
+        cx.alias("cx"), F.count_distinct("vec_id").alias("n_vecs")
+    )
+    a = cent.where(F.col("half") == 0).alias("ca")
+    b = cent.where(F.col("half") == 1).alias("cb")
+    paired = a.join(
+        b, (F.col("ca.label") == F.col("cb.label")) & (F.col("ca.pos") == F.col("cb.pos"))
+    ).select(
+        F.col("ca.label").alias("label"),
+        F.col("ca.cx").alias("cx0"),
+        F.col("cb.cx").alias("cx1"),
+        F.col("ca.n_vecs").alias("n_a"),
+        F.col("cb.n_vecs").alias("n_b"),
+    )
+    diff = F.col("cx0") - F.col("cx1")
+    return paired.groupBy("label").agg(
+        F.max("n_a").alias("n_even"),
+        F.max("n_b").alias("n_odd"),
+        dround(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_l2_shift"),
+    )
