@@ -152,3 +152,72 @@ def test_exact2_decimal_cast_matches_duckdb_above_2_19():
             f"SELECT CAST(CAST({v!r} AS DOUBLE) AS DECIMAL(28,2))::VARCHAR"
         ).fetchone()[0]
         assert s == d, f"{v}: spark={s} duckdb={d}"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 shared components: gram builder, MinHash invariance, CC schemes
+# ---------------------------------------------------------------------------
+
+token = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+
+
+@SETTLE
+@given(st.lists(st.lists(token, min_size=0, max_size=30), min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=5))
+def test_gram_rows_matches_python_reference(spark, docs, k):
+    """gram_rows(d, k) must emit exactly the sliding k-token windows of
+    each document (the pure-python definition), as a multiset."""
+    from edu_data_pipeline_spark.suite.scale_suite import gram_rows
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, gram_rows(d, k).collect()))
+    want = sorted(
+        (i, " ".join(toks[j : j + k]))
+        for i, toks in enumerate(docs)
+        # split(trim(x)) of all-empty text yields [''] — mirror that
+        for toks in [([t for t in " ".join(toks).split(" ")] if toks else [""])]
+        for j in range(max(len(toks) - k + 1, 0))
+    )
+    assert got == want
+
+
+@SETTLE
+@given(st.lists(st.lists(token, min_size=3, max_size=25), min_size=1, max_size=6))
+def test_minhash_signature_set_invariance(spark, docs):
+    """Signatures are min-aggregates over the shingle SET: duplicating
+    shingle rows and shuffling partitions must not change any signature."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        _shingle_rows, _sigs_from_shingle_rows,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_rows(d)
+    base = sorted(map(tuple, _sigs_from_shingle_rows(sh).collect()))
+    doubled = sorted(
+        map(tuple, _sigs_from_shingle_rows(sh.unionByName(sh).repartition(7)).collect())
+    )
+    assert base == doubled
+
+
+@SETTLE
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)), max_size=12))
+def test_cc_pointer_jump_equals_plain(spark, edge_list):
+    """Pointer-jumping and plain min-label propagation must reach the
+    identical component labeling on arbitrary graphs."""
+    from pyspark.sql import functions as F2
+
+    from edu_data_pipeline_spark.operators.graph import (
+        connected_components, symmetrize_edges,
+    )
+
+    verts = spark.range(15).select(F2.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list if a != b] or [(0, 0)],
+        "doc_a long, doc_b long",
+    ).where("doc_a != doc_b")
+    sym = symmetrize_edges(edges)
+    jump, _ = connected_components(verts, sym, pointer_jump=True)
+    plain, _ = connected_components(verts, sym, pointer_jump=False, max_rounds=64)
+    assert sorted(map(tuple, jump.collect())) == sorted(map(tuple, plain.collect()))
