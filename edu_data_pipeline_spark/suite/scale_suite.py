@@ -3028,3 +3028,116 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").alias("n_odd"),
         dround(F.sqrt(F.sum(diff * diff)), 6).alias("centroid_l2_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-k-per-group sampling: deterministic priority sampling (take the
+# k smallest md5 priorities per source). Unlike rate-based sampling
+# (docs_hash_sample / docs_stratified_sample), this guarantees the exact
+# per-group count — the shape used for eval-set carving and per-domain
+# caps. One window over the (source, priority) sort; reproducible because
+# the priority is content-addressed, and stable under corpus growth
+# everywhere the new docs' priorities don't displace the old top-k.
+# ---------------------------------------------------------------------------
+
+PER_SOURCE_K = 3
+
+
+@register(
+    "docs_per_source_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS priority
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, priority,
+             row_number() OVER (
+               PARTITION BY source ORDER BY priority, doc_id) AS rn
+      FROM pri
+    )
+    SELECT doc_id, source, rn AS sample_rank FROM ranked
+    WHERE rn <= {PER_SOURCE_K}
+    """,
+)
+def docs_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-{k}-per-source deterministic sample (min-md5 priorities)."""
+    d = table(spark, sf_dir, "documents")
+    pri = d.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("priority")
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PER_SOURCE_K)
+        .select("doc_id", "source", F.col("rn").alias("sample_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget-constrained corpus selection: per language, admit the
+# best documents (fewest repeated shingles first — the docs_repetition
+# signal inverted) until the language's token budget is exhausted. The
+# standard "data mixing under a token budget" pass: one quality sort +
+# running-sum window per language; a greedy prefix, deterministic
+# because the order totally tie-breaks on doc_id.
+# ---------------------------------------------------------------------------
+
+LANG_TOKEN_BUDGET = 4000
+
+
+@register(
+    "docs_token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+    ), sh AS ({_SQL_SHINGLES_DUP}),
+    rep AS (
+      SELECT doc_id,
+             len(shingles) - len(list_distinct(shingles)) AS n_repeated
+      FROM sh
+    ), ordered AS (
+      SELECT t.doc_id, t.lang, t.n_tokens,
+             coalesce(r.n_repeated, 0) AS n_repeated,
+             CAST(sum(t.n_tokens) OVER (
+               PARTITION BY t.lang
+               ORDER BY coalesce(r.n_repeated, 0), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM toks t LEFT JOIN rep r ON t.doc_id = r.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, n_repeated, cum_tokens
+    FROM ordered WHERE cum_tokens <= {LANG_TOKEN_BUDGET}
+    """,
+)
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language selection under a token budget, best-first.
+
+    Quality = fewest repeated shingles (templated/spun docs admit last);
+    the running token sum stops each language exactly at its budget.
+    Note the oracle's list_distinct is per-row over one doc's shingles —
+    bounded by doc length, not the O(n²)-per-row corpus trap."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    sh = _shingle_rows(d)
+    rep = sh.groupBy("doc_id").agg(
+        (F.count(F.lit(1)) - F.count_distinct("s")).alias("n_repeated")
+    )
+    joined = toks.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("n_repeated", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "n_repeated", "cum_tokens")
+    )
