@@ -60,9 +60,15 @@ def connected_components(
     every edge (u,v) has label(u) <= label(v) and vice versa.
     """
     sym = sym_edges.localCheckpoint()  # freeze (possibly expensive) lineage
-    labels = vertices.select(
-        F.col(vertex_col).alias("doc_id"), F.col(vertex_col).alias("component")
-    )
+    verts = vertices.select(F.col(vertex_col).alias("doc_id"))
+    # Only edge-touching vertices can ever change labels; at corpus scale
+    # the overwhelming majority of documents are in NO near-dup pair, so
+    # looping over all of them would pay |V| join rows per round for
+    # vertices whose component is trivially themselves. Restrict the loop
+    # to the active set and union the isolated vertices back at the end.
+    active = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    isolated = verts.join(active, "doc_id", "left_anti")
+    labels = active.select("doc_id", F.col("doc_id").alias("component"))
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -101,6 +107,9 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    labels = labels.unionByName(
+        isolated.select("doc_id", F.col("doc_id").alias("component"))
+    )
     if vertex_col != "doc_id":
         labels = labels.withColumnRenamed("doc_id", vertex_col)
     return labels, rounds
