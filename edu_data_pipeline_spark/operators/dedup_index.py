@@ -1,0 +1,78 @@
+"""Durable MinHash dedup index: the standing artifact an ingest pipeline
+screens every new batch against.
+
+The suite query ``docs_incremental_dedup`` models this flow inside one
+query (both sides recomputed); here the corpus side is a MATERIALIZED
+parquet table of LSH band rows, so screening a batch costs only the
+batch's own hashing plus an equi-join against the index — the cost model
+a 100 TB corpus actually needs (the corpus is hashed once, ever).
+
+Layout: parquet partitioned by ``band_idx``. The screen join's band_idx
+equality prunes to 1/N_BANDS of the index files before any shuffle, and
+the remaining join shuffles on band_key only. Appends are new files in
+the same partitions (no rewrite); compaction of small appended files is
+``operators.layout.compact_sorted`` applied per partition.
+
+No new hashing scheme: signatures and banding are exactly
+``suite.scale_suite.minhash_signatures_df`` / ``band_rows`` — index
+collisions therefore match the in-query LSH family bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _bands(docs: DataFrame) -> DataFrame:
+    from ..suite.scale_suite import band_rows, minhash_signatures_df
+
+    return band_rows(minhash_signatures_df(docs))
+
+
+def build_band_index(docs: DataFrame, path: str) -> int:
+    """Hash the corpus once and materialize its band rows. Returns the
+    number of band rows written."""
+    bands = _bands(docs)
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    return bands.count()
+
+
+def append_to_index(new_docs: DataFrame, path: str) -> int:
+    """Add an accepted batch's band rows to the standing index (new files
+    in the existing band_idx partitions; no rewrite)."""
+    bands = _bands(new_docs)
+    bands.write.mode("append").partitionBy("band_idx").parquet(path)
+    return bands.count()
+
+
+def screen_against_index(
+    spark: SparkSession, new_docs: DataFrame, path: str
+) -> DataFrame:
+    """Per new doc: how many distinct indexed docs share an LSH band.
+
+    (doc_id, n_corpus_matches, is_dup_candidate) for EVERY batch doc —
+    zero-collision docs report 0/false. Candidates then go to the exact
+    verify (suite.minhash_verified_pairs shape) before any drop decision;
+    band collision alone is the recall-stage signal."""
+    index = spark.read.parquet(path).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_key"
+    )
+    batch_bands = _bands(new_docs)
+    hits = (
+        batch_bands.join(index, ["band_idx", "band_key"])
+        .where(F.col("doc_id") != F.col("corpus_doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("corpus_doc_id").alias("n_corpus_matches"))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_corpus_matches"), F.lit(0)).alias("n_corpus_matches"),
+            (F.coalesce(F.col("n_corpus_matches"), F.lit(0)) > 0).alias(
+                "is_dup_candidate"
+            ),
+        )
+    )

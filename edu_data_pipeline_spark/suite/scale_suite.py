@@ -383,19 +383,24 @@ def _sigs_from_shingle_rows(sh: DataFrame) -> DataFrame:
     return halves.groupBy("doc_id").agg(*aggs)
 
 
-def _band_pairs(sigs: DataFrame) -> DataFrame:
-    """LSH banded candidate pairs from a signature DataFrame: stack the
-    bands, equi-join on (band_idx, band_key) — the near-linear candidate
-    generator shared by every MinHash query."""
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) LSH band rows from a signature frame."""
     stack_args = ", ".join(
         "{}, concat_ws('|', {})".format(
             b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
         )
         for b in range(N_BANDS)
     )
-    bands = sigs.selectExpr(
+    return sigs.selectExpr(
         "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
     )
+
+
+def _band_pairs(sigs: DataFrame) -> DataFrame:
+    """LSH banded candidate pairs from a signature DataFrame: stack the
+    bands, equi-join on (band_idx, band_key) — the near-linear candidate
+    generator shared by every MinHash query."""
+    bands = band_rows(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -2654,16 +2659,7 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     never batch x batch or corpus x corpus. Output: every batch doc with
     how many distinct corpus docs it collides with."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures_df(d)
-    stack_args = ", ".join(
-        "{}, concat_ws('|', {})".format(
-            b, ", ".join(f"sig_{N_BAND_ROWS * b + r}" for r in range(N_BAND_ROWS))
-        )
-        for b in range(N_BANDS)
-    )
-    bands = sigs.selectExpr(
-        "doc_id", f"stack({N_BANDS}, {stack_args}) AS (band_idx, band_key)"
-    )
+    bands = band_rows(minhash_signatures_df(d))
     is_batch = F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_MOD - 1
     new_bands = bands.where(is_batch)
     corpus_bands = bands.where(~is_batch)
