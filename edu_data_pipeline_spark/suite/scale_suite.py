@@ -3137,3 +3137,61 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
         .select("doc_id", "lang", "n_tokens", "n_repeated", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report: how much of the exact top-10 the IVF probe retains.
+# The calibration number that decides whether single-cell probing is
+# acceptable or n_probe must rise — the ANN twin of
+# minhash_estimate_accuracy. Both rankings already exist as registered
+# queries; this query joins them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_ivf_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), bf AS (
+      SELECT e.vec_id,
+             {_IVF_COS.format(a="e.embedding::DOUBLE[]", b="q.qv")} AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+      ORDER BY cos DESC, e.vec_id LIMIT 10
+    ), e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), pos AS (
+      SELECT vec_id, label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+      FROM e
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(x) AS cx
+      FROM pos GROUP BY label, pos
+    ), centroids AS (
+      SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), probe AS (
+      SELECT c.label FROM centroids c CROSS JOIN q
+      ORDER BY {_IVF_COS.format(a="c.centroid", b="q.qv")} DESC, c.label
+      LIMIT 1
+    ), ivf AS (
+      SELECT e.vec_id,
+             {_IVF_COS.format(a="e.emb", b="q.qv")} AS cos
+      FROM e JOIN probe ON e.label = probe.label CROSS JOIN q
+      WHERE e.vec_id != 0
+      ORDER BY cos DESC, e.vec_id LIMIT 10
+    )
+    SELECT count(ivf.vec_id) AS n_overlap,
+           {sql_dround('count(ivf.vec_id) * 1.0 / 10', 4)} AS recall_at_10
+    FROM bf LEFT JOIN ivf ON bf.vec_id = ivf.vec_id
+    """,
+)
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the single-cell IVF probe against exact brute force."""
+    bf = knn_bruteforce(spark, sf_dir).select("vec_id")
+    ivf = knn_ivf(spark, sf_dir).select(F.col("vec_id").alias("ivf_vec_id"))
+    joined = bf.join(ivf, bf.vec_id == F.col("ivf_vec_id"), "left")
+    return joined.agg(
+        F.count("ivf_vec_id").alias("n_overlap"),
+        dround(F.count("ivf_vec_id") * 1.0 / 10, 4).alias("recall_at_10"),
+    )
