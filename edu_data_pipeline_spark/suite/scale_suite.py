@@ -3195,3 +3195,84 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ivf_vec_id").alias("n_overlap"),
         dround(F.count("ivf_vec_id") * 1.0 / 10, 4).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: the standard answer to a weak single-cell recall
+# number (knn_ivf_recall) — probe the top-P cells instead of 1. Cost
+# scales with P/n_cells of the corpus; the probe list is a P-row
+# broadcast, so the candidate fetch stays one equi-join on the cell id.
+# ---------------------------------------------------------------------------
+
+IVF_N_PROBE = 3
+
+
+@register(
+    "knn_ivf_multiprobe",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), q AS (
+      SELECT emb AS qv FROM e WHERE vec_id = 0
+    ), pos AS (
+      SELECT vec_id, label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+      FROM e
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               / count(x) AS cx
+      FROM pos GROUP BY label, pos
+    ), centroids AS (
+      SELECT label, list(cx ORDER BY pos) AS centroid FROM cent GROUP BY label
+    ), probes AS (
+      SELECT c.label FROM centroids c CROSS JOIN q
+      ORDER BY {_IVF_COS.format(a="c.centroid", b="q.qv")} DESC, c.label
+      LIMIT {IVF_N_PROBE}
+    ), scored AS (
+      SELECT e.vec_id, e.label, {_IVF_COS.format(a="e.emb", b="q.qv")} AS cos
+      FROM e JOIN probes ON e.label = probes.label CROSS JOIN q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id, label,
+           CAST(CAST(CAST(cos AS VARCHAR) AS DECIMAL(38,6)) AS DOUBLE) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 via the {P} nearest cells — recall rises with P while cost
+    stays P/n_cells of a full scan (knn_ivf is the P=1 special case)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pos = e.select("vec_id", "label", F.posexplode("emb").alias("pos", "x"))
+    cx = (
+        F.sum(F.col("x").cast("string").cast("decimal(28,10)")).cast("double")
+        / F.count("x")
+    )
+    centroids = (
+        pos.groupBy("label", "pos").agg(cx.alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cx"]).alias("centroid"))
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id") == 0).select(F.col("emb").alias("qv")).limit(1)
+    )
+    probes = (
+        centroids.crossJoin(q)
+        .select("label", _cosine(F.col("centroid"), F.col("qv")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("label"))
+        .limit(IVF_N_PROBE)
+        .select(F.col("label").alias("probe_label"))
+    )
+    candidates = e.join(F.broadcast(probes), e.label == F.col("probe_label"))
+    scored = (
+        candidates.where(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", _cosine(F.col("emb"), F.col("qv")).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", dround(F.col("cos"), 6).alias("cosine"))
+    )
