@@ -3276,3 +3276,76 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", dround(F.col("cos"), 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: boundaries where a token's hash hits a
+# pattern (expected chunk length = modulus), so an insertion early in a
+# document shifts no downstream boundaries — chunk-level dedup keeps
+# matching, unlike fixed-stride chunking (docs_chunk_overlap) where one
+# added token re-addresses every later chunk. One posexplode + one
+# per-doc ordered window (running boundary count) + one per-chunk agg;
+# the window and the agg share the doc_id shuffle.
+# ---------------------------------------------------------------------------
+
+CDC_MODULUS = 8  # expected tokens per chunk
+
+
+@register(
+    "docs_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN CAST(CAST('0x' || substr(md5(t), 1, 8) AS UINTEGER)
+                       AS BIGINT) % {CDC_MODULUS} = 0
+                  THEN 1 ELSE 0 END AS is_boundary
+      FROM toks
+    ), seg AS (
+      SELECT doc_id, pos, t,
+             CAST(sum(is_boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS chunk_id
+      FROM marked
+    )
+    SELECT doc_id, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(t, ' ' ORDER BY pos)) AS chunk_md5
+    FROM seg GROUP BY doc_id, chunk_id
+    """,
+)
+def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-size chunks with content-defined (rolling-hash) bounds."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    marked = toks.withColumn(
+        "is_boundary", (h % CDC_MODULUS == 0).cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = marked.withColumn("chunk_id", F.sum("is_boundary").over(w))
+    return (
+        seg.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                        lambda p: p["t"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
