@@ -370,3 +370,17 @@ def test_delta_writer_degrades_gracefully(spark, tmp_path):
     updates = spark.createDataFrame([("K1", "v")], "k string, v string")
     with _pytest.raises(RuntimeError, match="ParquetMergeWriter"):
         w.merge(updates)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Probing more cells can only add candidates: multiprobe's top-10
+    overlap with exact brute force must be >= the single-probe overlap."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        knn_bruteforce, knn_ivf, knn_ivf_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    bf = {r.vec_id for r in knn_bruteforce(spark, sf).collect()}
+    single = {r.vec_id for r in knn_ivf(spark, sf).collect()}
+    multi = {r.vec_id for r in knn_ivf_multiprobe(spark, sf).collect()}
+    assert len(bf & multi) >= len(bf & single)
