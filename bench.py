@@ -62,6 +62,8 @@ HEADLINE = [
     "docs_incremental_dedup",
     "knn_batch_ivf",
     "docs_unigram_logprob",
+    "docs_cdc_chunks",
+    "knn_ivf_multiprobe",
 ]
 
 
