@@ -384,3 +384,46 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     single = {r.vec_id for r in knn_ivf(spark, sf).collect()}
     multi = {r.vec_id for r in knn_ivf_multiprobe(spark, sf).collect()}
     assert len(bf & multi) >= len(bf & single)
+
+
+def test_kmeans_lloyd_objective_decreases(spark):
+    """Lloyd's invariant: re-assigning to the UPDATED centroids cannot
+    raise total inertia over assigning to the init centroids."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from edu_data_pipeline_spark.sources.testdata import table
+    from edu_data_pipeline_spark.suite import DEC
+    from edu_data_pipeline_spark.suite.scale_suite import KMEANS_K
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F2.col("embedding").cast("array<double>").alias("emb")
+    )
+    pts = e.select("vec_id", F2.posexplode("emb").alias("dim", "x"))
+
+    def assign(cent):
+        j = pts.alias("p").join(F2.broadcast(cent.alias("c")), "dim")
+        sq = (F2.col("x") - F2.col("c")) * (F2.col("x") - F2.col("c"))
+        d = j.groupBy("vec_id", "cid").agg(
+            F2.sum(sq.cast("string").cast(DEC)).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        return (
+            d.withColumn("rn", F2.row_number().over(w))
+            .where(F2.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    def inertia(a):
+        return float(a.agg(F2.sum(F2.col("d2").cast("double"))).collect()[0][0])
+
+    init = pts.where(F2.col("vec_id") < KMEANS_K).select(
+        F2.col("vec_id").alias("cid"), "dim", F2.col("x").alias("c")
+    )
+    a1 = assign(init)
+    c1 = pts.join(a1.select("vec_id", "cid"), "vec_id").groupBy("cid", "dim").agg(
+        (F2.sum(F2.col("x").cast("string").cast(DEC)).cast("double")
+         / F2.count(F2.lit(1))).alias("c")
+    )
+    a2 = assign(c1)
+    assert inertia(a2) <= inertia(a1) + 1e-9
