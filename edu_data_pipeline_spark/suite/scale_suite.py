@@ -3349,3 +3349,123 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Provenance: near-duplicate content arriving from DIFFERENT sources
+# (mirrors, re-crawls, dataset overlap — on this corpus 22 of 23
+# verified near-dup pairs cross sources while zero pairs are verbatim-
+# equal, so provenance dedup must run at the near-dup layer, not on
+# content digests). Reuses the verified-pairs pipeline and annotates
+# each accepted pair with both sources via two co-partitioned joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_cross_source_leakage",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), bands AS (
+{_SQL_BANDS}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jac
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common)
+            >= {MINHASH_VERIFY_J}
+    )
+    SELECT v.doc_a, v.doc_b,
+           da.source AS src_a, db.source AS src_b,
+           CAST(CAST(CAST(v.jac AS VARCHAR) AS DECIMAL(38,4)) AS DOUBLE) AS jaccard
+    FROM verified v
+    JOIN documents da ON da.doc_id = v.doc_a
+    JOIN documents db ON db.doc_id = v.doc_b
+    WHERE da.source != db.source
+    """,
+)
+def docs_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs whose two documents have different sources."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    vp = minhash_verified_pairs(spark, sf_dir)
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        vp.join(da, "doc_a")
+        .join(db, "doc_b")
+        .where(F.col("src_a") != F.col("src_b"))
+        .select("doc_a", "doc_b", "src_a", "src_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source scorecard: the per-source quality panel a corpus curator reads
+# before weighting sources in a mix — volume, length profile, exact-dup
+# rate, and stopword density in ONE scan + one agg per source (all other
+# signals live in their own queries; this is the cheap always-on panel).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_source_scorecard",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             n_chars,
+             md5(text) AS digest,
+             len(list_filter(string_split(trim(text), ' '),
+                 t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_dround('sum(n_tokens) * 1.0 / count(*)', 4)} AS mean_tokens,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_exact_dups,
+           {sql_dround('sum(n_stop) * 1.0 / greatest(sum(n_tokens), 1)', 6)}
+             AS stopword_density
+    FROM per_doc GROUP BY source
+    """,
+)
+def docs_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume / length / exact-dup / stopword panel."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    per_doc = d.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        F.md5(F.col("text")).alias("digest"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        dround(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 4).alias("mean_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct("digest")).alias("n_exact_dups"),
+        dround(
+            F.sum("n_stop") * 1.0 / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
+        ).alias("stopword_density"),
+    )
