@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import davg, dround, register, sql_davg, sql_dround
+from . import davg, dround, dsum, register, sql_davg, sql_dround, sql_dsum
 
 STOPWORDS = ("the", "a")
 
@@ -3468,4 +3468,74 @@ def docs_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(
             F.sum("n_stop") * 1.0 / F.greatest(F.sum("n_tokens"), F.lit(1)), 6
         ).alias("stopword_density"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time-correct training snapshot over the event log: features
+# computed ONLY from events before the cutoff, the label ONLY from after
+# — the leakage guard every feature store enforces (train/serve skew
+# comes from violating exactly this line). Two filtered aggregations of
+# one scan, joined on user; the cutoff is a literal, so both filters
+# push down to the parquet scan.
+# ---------------------------------------------------------------------------
+
+PIT_CUTOFF = "2024-01-22 00:00:00"
+
+
+@register(
+    "events_pit_features",
+    oracle=f"""
+    WITH feat AS (
+      SELECT user_id,
+             count(*) AS n_events_pre,
+             CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS n_errors_pre,
+             {sql_dsum("value", 2)} AS value_sum_pre,
+             max(ts) AS last_seen_pre
+      FROM events WHERE ts < TIMESTAMP '{PIT_CUTOFF}'
+      GROUP BY user_id
+    ), label AS (
+      SELECT user_id,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) > 0
+               AS purchased_after
+      FROM events WHERE ts >= TIMESTAMP '{PIT_CUTOFF}'
+      GROUP BY user_id
+    )
+    SELECT f.user_id, f.n_events_pre, f.n_errors_pre, f.value_sum_pre,
+           f.last_seen_pre,
+           coalesce(l.purchased_after, false) AS purchased_after
+    FROM feat f LEFT JOIN label l ON f.user_id = l.user_id
+    """,
+)
+def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe features (pre-cutoff) + label (post-cutoff) per user."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit(PIT_CUTOFF).cast("timestamp")
+    feat = (
+        e.where(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events_pre"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors_pre"),
+            dsum(F.col("value"), 2).alias("value_sum_pre"),
+            F.max("ts").alias("last_seen_pre"),
+        )
+    )
+    label = (
+        e.where(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.when(F.col("event_type") == "purchase", 1)) > 0).alias(
+                "purchased_after"
+            )
+        )
+    )
+    return feat.join(label, "user_id", "left").select(
+        "user_id",
+        "n_events_pre",
+        "n_errors_pre",
+        "value_sum_pre",
+        "last_seen_pre",
+        F.coalesce(F.col("purchased_after"), F.lit(False)).alias("purchased_after"),
     )
