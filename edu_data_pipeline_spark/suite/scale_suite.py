@@ -3539,3 +3539,131 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_seen_pre",
         F.coalesce(F.col("purchased_after"), F.lit(False)).alias("purchased_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature drift: Population Stability Index of the value distribution
+# between the first and second half of the event log, per event type.
+# The standard "did the feature move" alarm (PSI > 0.2 = investigate).
+# One scan -> bucket counts per (type, half) -> per-type PSI; the bucket
+# domain is fixed-width so the shuffle key space is bounded.
+# ---------------------------------------------------------------------------
+
+PSI_CUTOFF = "2024-01-16 00:00:00"
+PSI_BUCKET_WIDTH = 100
+PSI_EPS = "0.0005"  # Laplace-style floor so empty buckets don't blow up ln
+
+
+@register(
+    "events_value_psi",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}' THEN 0 ELSE 1 END AS half,
+             CAST(floor(value / {PSI_BUCKET_WIDTH}) AS BIGINT) AS bucket
+      FROM events
+    ), counts AS (
+      SELECT event_type, half, bucket, count(*) AS n
+      FROM b GROUP BY event_type, half, bucket
+    ), tot AS (
+      SELECT event_type, half, CAST(sum(n) AS BIGINT) AS n_half
+      FROM counts GROUP BY event_type, half
+    ), shares AS (
+      SELECT c.event_type, c.bucket,
+             {sql_dround(f"max(CASE WHEN c.half = 0 THEN c.n * 1.0 / t.n_half END)", 8)} AS p0,
+             {sql_dround(f"max(CASE WHEN c.half = 1 THEN c.n * 1.0 / t.n_half END)", 8)} AS p1
+      FROM counts c JOIN tot t
+        ON c.event_type = t.event_type AND c.half = t.half
+      GROUP BY c.event_type, c.bucket
+    ), terms AS (
+      SELECT event_type,
+             (coalesce(p0, 0) - coalesce(p1, 0))
+               * ln((coalesce(p0, 0) + {PSI_EPS}) / (coalesce(p1, 0) + {PSI_EPS}))
+               AS term
+      FROM shares
+    )
+    SELECT event_type,
+           {sql_dround("CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)", 6)}
+             AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of value distributions between the log's two time halves."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp")
+    b = e.select(
+        "event_type",
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("half"),
+        F.floor(F.col("value") / PSI_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    counts = b.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type", "half")
+    shares = counts.withColumn("n_half", F.sum("n").over(w)).groupBy(
+        "event_type", "bucket"
+    ).agg(
+        dround(
+            F.max(F.when(F.col("half") == 0, F.col("n") * 1.0 / F.col("n_half"))), 8
+        ).alias("p0"),
+        dround(
+            F.max(F.when(F.col("half") == 1, F.col("n") * 1.0 / F.col("n_half"))), 8
+        ).alias("p1"),
+    )
+    eps = float(PSI_EPS)
+    p0 = F.coalesce(F.col("p0"), F.lit(0.0))
+    p1 = F.coalesce(F.col("p1"), F.lit(0.0))
+    term = (p0 - p1) * F.log((p0 + eps) / (p1 + eps))
+    return shares.select("event_type", term.alias("term")).groupBy(
+        "event_type"
+    ).agg(
+        dround(
+            F.sum(F.col("term").cast("string").cast("decimal(28,10)")).cast("double"),
+            6,
+        ).alias("psi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much genuinely NEW content each document adds over
+# the corpus that arrived before it (doc_id as arrival order). Shingle ->
+# first-seen doc via one min-agg, join back, per-doc share. The curation
+# signal for "is this source still contributing, or replaying".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), first_seen AS (
+      SELECT s, min(doc_id) AS first_doc FROM exploded GROUP BY s
+    )
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           {sql_dround('count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) * 1.0 / count(*)', 4)}
+             AS novelty
+    FROM exploded e JOIN first_seen f ON e.s = f.s
+    GROUP BY e.doc_id
+    """,
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's distinct shingles first seen in that doc."""
+    ex = _distinct_shingles(table(spark, sf_dir, "documents"))
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = ex.join(first, "s")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+        dround(
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            * 1.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("novelty"),
+    )
