@@ -2043,3 +2043,77 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_locf"),
         F.col("avg_value").isNull().alias("gap_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data governance: k-anonymity screen over quasi-identifiers. Groups of
+# size < k are re-identification risks and must be suppressed or
+# generalized before a dataset ships; one hash agg + a flag. The pattern
+# scales to any QI column set — the group count is the whole cost.
+# ---------------------------------------------------------------------------
+
+K_ANON = 12
+
+
+@register(
+    "customer_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size,
+           count(*) < {K_ANON} AS needs_suppression
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier group sizes with a suppression flag (k=K_ANON)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < K_ANON).alias("needs_suppression"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class rebalancing: deterministic integer upsampling of under-
+# represented languages toward the majority (en is ~3.5x fr on this
+# corpus). The replication factor comes from exact counts (broadcast,
+# |langs| rows) and is applied map-side via explode(sequence) — the big
+# side never shuffles; epoch-level dataloaders consume replica_idx as
+# the repeat counter.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_lang_rebalance",
+    oracle="""
+    WITH n AS (
+      SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+    ), m AS (
+      SELECT max(n_lang) AS n_max FROM n
+    ), factors AS (
+      SELECT lang, CAST(n_max // n_lang AS BIGINT) AS rep
+      FROM n CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang, CAST(r.i AS BIGINT) AS replica_idx
+    FROM documents d
+    JOIN factors f ON d.lang = f.lang
+    CROSS JOIN LATERAL (SELECT unnest(range(f.rep)) AS i) r
+    """,
+)
+def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, replica): rare langs replicated floor(max/n)x."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    m = n.agg(F.max("n_lang").alias("n_max"))
+    factors = n.crossJoin(F.broadcast(m)).select(
+        "lang", F.expr("n_max div n_lang").alias("rep")
+    )
+    return (
+        d.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("rep") - 1)).alias("replica_idx"),
+        )
+    )
