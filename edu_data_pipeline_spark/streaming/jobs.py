@@ -547,3 +547,79 @@ def collision_rollup(hits: DataFrame) -> DataFrame:
     return hits.groupBy("doc_id").agg(
         F.count_distinct("corpus_doc_id").alias("n_corpus_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor: windowed value-bucket shares vs a static
+# baseline distribution (the stream twin of suite.events_value_psi).
+# ---------------------------------------------------------------------------
+
+DRIFT_BUCKET_WIDTH = 100
+
+
+def baseline_value_shares(history: DataFrame) -> DataFrame:
+    """Static per-(event_type, bucket) share table from a history batch —
+    the reference distribution the live stream is compared against.
+    Columns: event_type, bucket, p_base."""
+    b = history.select(
+        "event_type",
+        F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("long").alias("bucket"),
+    )
+    counts = b.groupBy("event_type", "bucket").count()
+    from pyspark.sql import Window as W
+
+    total = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "bucket",
+        (F.col("count") * 1.0 / F.sum("count").over(total)).alias("p_base"),
+    )
+
+
+def windowed_bucket_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Per-(window, event_type, bucket) counts over the value stream —
+    a plain watermarked streaming aggregation (bounded state: bucket
+    domain x type domain x live windows)."""
+    return (
+        events.withWatermark("event_timestamp", watermark)
+        .groupBy(
+            F.window("event_timestamp", window).alias("w"),
+            "event_type",
+            F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("long").alias("bucket"),
+        )
+        .count()
+    )
+
+
+def psi_against_baseline(window_counts: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per-(window, event_type) PSI vs the static baseline. Run inside
+    foreachBatch (or on the materialized window counts): the per-window
+    share needs a second aggregation, which streaming append mode cannot
+    chain — and batch context is exactly where the alarm decision (and
+    alert-sink routing) lives anyway."""
+    from pyspark.sql import Window as W
+
+    total = W.partitionBy("w", "event_type")
+    shares = window_counts.select(
+        "w",
+        "event_type",
+        "bucket",
+        (F.col("count") * 1.0 / F.sum("count").over(total)).alias("p_live"),
+    )
+    joined = shares.join(baseline, ["event_type", "bucket"], "full").where(
+        F.col("w").isNotNull()
+    )
+    eps = 0.0005
+    p_live = F.coalesce(F.col("p_live"), F.lit(0.0))
+    p_base = F.coalesce(F.col("p_base"), F.lit(0.0))
+    term = (p_live - p_base) * F.log((p_live + eps) / (p_base + eps))
+    return (
+        joined.select("w", "event_type", term.alias("term"))
+        .groupBy("w", "event_type")
+        .agg(F.sum("term").alias("psi"))
+        .withColumn("drift_alarm", F.col("psi") > 0.2)
+    )

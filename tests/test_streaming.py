@@ -550,3 +550,76 @@ def test_streaming_shingles_match_batch(spark):
     a = sorted(map(tuple, jobs.streaming_shingle_rows(docs).collect()))
     b = sorted(map(tuple, _shingle_rows(docs).collect()))
     assert a == b
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Stream twin of events_value_psi: a live window whose value
+    distribution matches the baseline stays quiet; a shifted window
+    raises the drift alarm."""
+    import json as _json
+
+    baseline_rows = [("click", float(v)) for v in range(0, 400, 4)]
+    baseline = jobs.baseline_value_shares(
+        spark.createDataFrame(baseline_rows, "event_type string, value double")
+    )
+
+    src = tmp_path / "drift_events"
+    src.mkdir()
+
+    def ev(i, ts, value):
+        return {
+            "event_id": f"evt-{i}", "student_id": "STU001", "course_id": "C1",
+            "event_type": "click", "event_timestamp": ts,
+            "duration_seconds": "1", "score": "50", "module_id": "M1",
+            "completion_percentage": str(value),
+        }
+
+    # window A (10:00): same uniform 0..400 distribution as baseline
+    rows = [ev(i, "2024-01-01T10:00:05", 0) for i in range(50)]
+    # window B (11:00): all mass in one far bucket -> drift
+    rows += [ev(100 + i, "2024-01-01T11:00:05", 0) for i in range(50)]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = jobs.read_event_stream_json(spark, str(src)).select(
+        F.col("event_type"),
+        F.to_timestamp("event_timestamp").alias("event_timestamp"),
+        # window A values mirror the baseline (derived from the event id,
+        # stream-legal and deterministic); window B sits at 900+
+        F.when(
+            F.hour(F.to_timestamp("event_timestamp")) == 10,
+            (
+                F.regexp_extract("event_id", r"evt-(\d+)", 1).cast("long") % 50
+            ) * 8.0,
+        ).otherwise(F.lit(950.0)).alias("value"),
+    )
+    counts = jobs.windowed_bucket_counts(stream)
+    out = []
+    q = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda b, _id: out.extend(
+                jobs.psi_against_baseline(b, baseline).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # append mode only emits CLOSED windows; the watermark from the max
+    # event (11:00) closes window A but keeps B open -> drive a second
+    # batch far in the future to flush B
+    (src / "c.json").write_text(_json.dumps(ev(999, "2024-01-02T00:00:00", 0)))
+    q2 = (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda b, _id: out.extend(
+                jobs.psi_against_baseline(b, baseline).collect()
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    alarms = {r["w"]["start"].hour: r["drift_alarm"] for r in out}
+    assert alarms.get(10) is False, alarms  # matches baseline -> quiet
+    assert alarms.get(11) is True, alarms   # shifted mass -> alarm
