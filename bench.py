@@ -67,6 +67,9 @@ HEADLINE = [
 ]
 
 
+N_RUNS = 3  # min-of-N; also recorded in the result so history stays honest
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -81,9 +84,9 @@ def main() -> None:
     registry["pricing_summary"].fn(spark, sf_dir).count()
     for name in names:
         best = None
-        # min-of-3: the machine's noise band is ~±30%, so min-of-2 left
+        # min-of-N: the machine's noise band is ~±30%, so min-of-2 left
         # round-over-round regressions unattributable (VERDICT r1 #8)
-        for _ in range(3):
+        for _ in range(N_RUNS):
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -97,7 +100,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "n": 3,
+        "n": N_RUNS,
     }
     print(json.dumps(result))
     # Persistent per-query history so round-over-round regressions are

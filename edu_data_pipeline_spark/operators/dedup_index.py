@@ -32,18 +32,20 @@ def _bands(docs: DataFrame) -> DataFrame:
 
 def build_band_index(docs: DataFrame, path: str) -> int:
     """Hash the corpus once and materialize its band rows. Returns the
-    number of band rows written."""
-    bands = _bands(docs)
-    bands.write.mode("overwrite").partitionBy("band_idx").parquet(path)
-    return bands.count()
+    number of band rows written (counted from the written parquet
+    footers — re-counting the lineage would hash the corpus twice)."""
+    _bands(docs).write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    return docs.sparkSession.read.parquet(path).count()
 
 
 def append_to_index(new_docs: DataFrame, path: str) -> int:
     """Add an accepted batch's band rows to the standing index (new files
-    in the existing band_idx partitions; no rewrite)."""
-    bands = _bands(new_docs)
-    bands.write.mode("append").partitionBy("band_idx").parquet(path)
-    return bands.count()
+    in the existing band_idx partitions; no rewrite). Returns the rows
+    appended (index total after minus before, both footer-cheap)."""
+    spark = new_docs.sparkSession
+    before = spark.read.parquet(path).count()
+    _bands(new_docs).write.mode("append").partitionBy("band_idx").parquet(path)
+    return spark.read.parquet(path).count() - before
 
 
 def screen_against_index(

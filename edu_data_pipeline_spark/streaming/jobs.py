@@ -551,19 +551,26 @@ def collision_rollup(hits: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Streaming drift monitor: windowed value-bucket shares vs a static
-# baseline distribution (the stream twin of suite.events_value_psi).
+# baseline distribution (the stream twin of suite.events_value_psi —
+# bucket width / epsilon / alarm threshold are IMPORTED from it so the
+# two can never desynchronize).
 # ---------------------------------------------------------------------------
 
-DRIFT_BUCKET_WIDTH = 100
+
+def _psi_constants():
+    from ..suite.scale_suite import PSI_ALARM, PSI_BUCKET_WIDTH, PSI_EPS
+
+    return PSI_BUCKET_WIDTH, float(PSI_EPS), PSI_ALARM
 
 
 def baseline_value_shares(history: DataFrame) -> DataFrame:
     """Static per-(event_type, bucket) share table from a history batch —
     the reference distribution the live stream is compared against.
     Columns: event_type, bucket, p_base."""
+    width, _, _ = _psi_constants()
     b = history.select(
         "event_type",
-        F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("long").alias("bucket"),
+        F.floor(F.col("value") / width).cast("long").alias("bucket"),
     )
     counts = b.groupBy("event_type", "bucket").count()
     from pyspark.sql import Window as W
@@ -584,12 +591,13 @@ def windowed_bucket_counts(
     """Per-(window, event_type, bucket) counts over the value stream —
     a plain watermarked streaming aggregation (bounded state: bucket
     domain x type domain x live windows)."""
+    width, _, _ = _psi_constants()
     return (
         events.withWatermark("event_timestamp", watermark)
         .groupBy(
             F.window("event_timestamp", window).alias("w"),
             "event_type",
-            F.floor(F.col("value") / DRIFT_BUCKET_WIDTH).cast("long").alias("bucket"),
+            F.floor(F.col("value") / width).cast("long").alias("bucket"),
         )
         .count()
     )
@@ -603,6 +611,7 @@ def psi_against_baseline(window_counts: DataFrame, baseline: DataFrame) -> DataF
     alert-sink routing) lives anyway."""
     from pyspark.sql import Window as W
 
+    _, eps, alarm = _psi_constants()
     total = W.partitionBy("w", "event_type")
     shares = window_counts.select(
         "w",
@@ -610,10 +619,16 @@ def psi_against_baseline(window_counts: DataFrame, baseline: DataFrame) -> DataF
         "bucket",
         (F.col("count") * 1.0 / F.sum("count").over(total)).alias("p_live"),
     )
-    joined = shares.join(baseline, ["event_type", "bucket"], "full").where(
-        F.col("w").isNotNull()
-    )
-    eps = 0.0005
+    # Every live (window, type) must contribute a term for EVERY baseline
+    # bucket, including the ones that window never saw (mass that
+    # vanished is exactly the drift signal): build the full
+    # (window, type) x baseline-bucket grid first, then full-join the
+    # live shares so novel live buckets survive too. A bare
+    # shares-to-baseline join silently drops baseline buckets missing
+    # from a window and underestimates PSI.
+    windows = window_counts.select("w", "event_type").distinct()
+    grid = windows.join(baseline, "event_type")
+    joined = grid.join(shares, ["w", "event_type", "bucket"], "full")
     p_live = F.coalesce(F.col("p_live"), F.lit(0.0))
     p_base = F.coalesce(F.col("p_base"), F.lit(0.0))
     term = (p_live - p_base) * F.log((p_live + eps) / (p_base + eps))
@@ -621,5 +636,5 @@ def psi_against_baseline(window_counts: DataFrame, baseline: DataFrame) -> DataF
         joined.select("w", "event_type", term.alias("term"))
         .groupBy("w", "event_type")
         .agg(F.sum("term").alias("psi"))
-        .withColumn("drift_alarm", F.col("psi") > 0.2)
+        .withColumn("drift_alarm", F.col("psi") > alarm)
     )

@@ -151,9 +151,10 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "docs_lang_id",
-    oracle="""
+# Shared lang-guess CTE chain: ONE statement of the stopword lists and
+# the tie-break CASE, interpolated into both the per-doc query and the
+# confusion matrix so the two oracles can never drift apart.
+_SQL_LANG_GUESS = """
     WITH toks AS (
       SELECT doc_id, lang, string_split(trim(text), ' ') AS tokens FROM documents
     ), scores AS (
@@ -163,19 +164,24 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(tokens, t -> t IN ('le', 'la', 'et')))   AS fr_hits,
              len(list_filter(tokens, t -> t IN ('el', 'los', 'y')))   AS es_hits
       FROM toks
+    ), guessed AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
+                  WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+                  WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+                  WHEN fr_hits >= es_hits THEN 'fr'
+                  ELSE 'es' END AS guessed_lang
+      FROM scores
     )
-    SELECT doc_id, lang,
-           CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
-                WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
-                WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
-                WHEN fr_hits >= es_hits THEN 'fr'
-                ELSE 'es' END AS guessed_lang,
-           (CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
-                WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
-                WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
-                WHEN fr_hits >= es_hits THEN 'fr'
-                ELSE 'es' END) = lang AS agrees_with_label
-    FROM scores
+"""
+
+
+@register(
+    "docs_lang_id",
+    oracle=f"""{_SQL_LANG_GUESS}
+    SELECT doc_id, lang, guessed_lang,
+           guessed_lang = lang AS agrees_with_label
+    FROM guessed
     """,
 )
 def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2803,27 +2809,6 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One groupBy over the scored scan; share-of-actual rides a bounded window.
 # ---------------------------------------------------------------------------
 
-_SQL_LANG_GUESS = """
-    WITH toks AS (
-      SELECT doc_id, lang, string_split(trim(text), ' ') AS tokens FROM documents
-    ), scores AS (
-      SELECT doc_id, lang,
-             len(list_filter(tokens, t -> t IN ('the', 'a', 'and'))) AS en_hits,
-             len(list_filter(tokens, t -> t IN ('der', 'und', 'die'))) AS de_hits,
-             len(list_filter(tokens, t -> t IN ('le', 'la', 'et')))   AS fr_hits,
-             len(list_filter(tokens, t -> t IN ('el', 'los', 'y')))   AS es_hits
-      FROM toks
-    ), guessed AS (
-      SELECT doc_id, lang,
-             CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'unknown'
-                  WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
-                  WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
-                  WHEN fr_hits >= es_hits THEN 'fr'
-                  ELSE 'es' END AS guessed_lang
-      FROM scores
-    )
-"""
-
 
 @register(
     "docs_lang_confusion",
@@ -3552,6 +3537,7 @@ def events_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_CUTOFF = "2024-01-16 00:00:00"
 PSI_BUCKET_WIDTH = 100
 PSI_EPS = "0.0005"  # Laplace-style floor so empty buckets don't blow up ln
+PSI_ALARM = 0.2  # investigate above this (industry convention)
 
 
 @register(

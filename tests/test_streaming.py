@@ -623,3 +623,23 @@ def test_streaming_drift_monitor(spark, tmp_path):
     alarms = {r["w"]["start"].hour: r["drift_alarm"] for r in out}
     assert alarms.get(10) is False, alarms  # matches baseline -> quiet
     assert alarms.get(11) is True, alarms   # shifted mass -> alarm
+
+
+def test_psi_counts_vanished_buckets(spark):
+    """Regression: a window that LOSES half the baseline's buckets (mass
+    vanished, no novel buckets) must still alarm — the baseline buckets
+    missing from the live window contribute (0 - p_base)*ln terms."""
+    import datetime
+
+    baseline = spark.createDataFrame(
+        [("click", b, 0.1) for b in range(10)],
+        "event_type string, bucket long, p_base double",
+    )
+    w = (datetime.datetime(2024, 1, 1, 10, 0), datetime.datetime(2024, 1, 1, 10, 10))
+    live = spark.createDataFrame(
+        [(w, "click", b, 20) for b in range(5)],  # buckets 5..9 vanished
+        "w struct<start:timestamp,end:timestamp>, event_type string, bucket long, count long",
+    )
+    out = jobs.psi_against_baseline(live, baseline).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] > 0.2 and out[0]["drift_alarm"] is True, out
