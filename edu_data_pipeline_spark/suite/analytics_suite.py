@@ -2117,3 +2117,90 @@ def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("rep") - 1)).alias("replica_idx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: brand pairs bought together with support
+# and lift. The within-order self-join is bounded by basket size (~4-7
+# items/order on TPC-H-shaped data), so pair volume stays linear in
+# order count — the key property that keeps basket analysis tractable
+# at any order volume. Lift > 1 = brands co-occur more than chance.
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_PAIRS = 50
+
+
+@register(
+    "brand_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n_orders AS (
+      SELECT count(DISTINCT okey) AS n FROM items
+    ), brand_n AS (
+      SELECT brand, count(*) AS n_brand FROM items GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_pair
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT brand_a, brand_b, n_pair,
+           {sql_dround('n_pair * 1.0 / n.n', 6)} AS support,
+           {sql_dround(
+               'n_pair * 1.0 * n.n / (na.n_brand * 1.0 * nb.n_brand)', 4
+           )} AS lift
+    FROM pairs
+    JOIN brand_n na ON na.brand = brand_a
+    JOIN brand_n nb ON nb.brand = brand_b
+    CROSS JOIN n_orders n
+    WHERE n_pair >= {BASKET_MIN_PAIRS}
+    """,
+)
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand pairs co-purchased in one order: support + lift, min-support
+    filtered so the output is the interesting tail, not the pair matrix."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    items = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.agg(F.count_distinct("okey").alias("n"))
+    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= BASKET_MIN_PAIRS)
+    )
+    na = brand_n.alias("na")
+    nb = brand_n.alias("nb")
+    return (
+        pairs.join(na, F.col("brand_a") == F.col("na.brand"))
+        .join(nb, F.col("brand_b") == F.col("nb.brand"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_pair",
+            dround(F.col("n_pair") * 1.0 / F.col("n"), 6).alias("support"),
+            dround(
+                F.col("n_pair")
+                * 1.0
+                * F.col("n")
+                / (F.col("na.n_brand") * 1.0 * F.col("nb.n_brand")),
+                4,
+            ).alias("lift"),
+        )
+    )
