@@ -106,7 +106,10 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
 
     O(diameter) rounds, one shuffle per round on the node id;
     localCheckpoint truncates lineage so plan size stays constant (the
-    same Pregel pattern as the suite's dedup_components)."""
+    same Pregel pattern as the suite's dedup_components). Warns (never
+    silently returns) if ``max_iters`` is exhausted before the fixpoint —
+    use :func:`edu_data_pipeline_spark.operators.graph.connected_components`
+    (pointer-jumping, O(log diameter)) for graphs with long chains."""
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -116,6 +119,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["src"] == labels["doc_id"]
@@ -135,6 +139,17 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        from .graph import NonConvergedComponentsWarning
+
+        warnings.warn(
+            f"connected_components exhausted max_iters={max_iters} with "
+            f"{changed} labels still changing — components are not a fixpoint",
+            NonConvergedComponentsWarning,
+            stacklevel=2,
+        )
     return labels
 
 

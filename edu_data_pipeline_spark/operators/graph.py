@@ -29,8 +29,17 @@ salt this join or switch to the star-contraction scheme.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class NonConvergedComponentsWarning(UserWarning):
+    """Raised as a warning when a CC loop exhausts its round cap while
+    labels are still changing: the returned labels may split one true
+    component into several. Callers that need a hard guarantee pass
+    ``strict=True`` instead."""
 
 
 def symmetrize_edges(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
@@ -47,12 +56,20 @@ def connected_components(
     vertex_col: str = "doc_id",
     max_rounds: int = 64,
     pointer_jump: bool = True,
+    strict: bool = False,
 ) -> tuple[DataFrame, int]:
     """Label every vertex with min(vertex id) of its component.
 
     ``vertices`` needs column ``vertex_col``; ``sym_edges`` needs
     (src, dst) BOTH directions (see :func:`symmetrize_edges`). Returns
     ``(labels, rounds_used)`` where labels has (vertex_col, component).
+
+    If the loop exhausts ``max_rounds`` while labels are still changing
+    (possible for the plain min-label scheme on chains longer than the
+    cap), the labels are NOT a fixpoint: a
+    :class:`NonConvergedComponentsWarning` is emitted, or with
+    ``strict=True`` a ``RuntimeError`` is raised — never a silent wrong
+    answer (ADVICE r3).
 
     Invariant: a vertex's label is always the id of some vertex in its
     own component and only ever decreases, so the fixpoint (no change
@@ -70,6 +87,7 @@ def connected_components(
     isolated = verts.join(active, "doc_id", "left_anti")
     labels = active.select("doc_id", F.col("doc_id").alias("component"))
     rounds = 0
+    changed = 0
     for _ in range(max_rounds):
         rounds += 1
         neighbor_min = (
@@ -107,6 +125,15 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components exhausted max_rounds={max_rounds} with "
+            f"{changed} labels still changing — returned components are not "
+            "a fixpoint (some true components may be split)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, NonConvergedComponentsWarning, stacklevel=2)
     labels = labels.unionByName(
         isolated.select("doc_id", F.col("doc_id").alias("component"))
     )

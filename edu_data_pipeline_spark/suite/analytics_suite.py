@@ -2081,18 +2081,31 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # |langs| rows) and is applied map-side via explode(sequence) — the big
 # side never shuffles; epoch-level dataloaders consume replica_idx as
 # the repeat counter.
+#
+# The factor is CAPPED at LANG_REBALANCE_MAX_REP: on a pathological
+# corpus (1 doc in a rare language vs 10^9 majority docs) an uncapped
+# floor(max/n) would explode a single input row into ~10^9 replicas
+# inside one task (straggler/OOM), and epoch-level upsampling beyond
+# ~10-20x is statistically useless anyway — common data-mix practice
+# caps per-source repetition in that range. With the cap in place the
+# per-row fan-out is bounded by a small constant, so no salting is
+# needed: a task's output is at most MAX_REP x its input rows.
 # ---------------------------------------------------------------------------
+
+LANG_REBALANCE_MAX_REP = 16
 
 
 @register(
     "docs_lang_rebalance",
-    oracle="""
+    oracle=f"""
     WITH n AS (
       SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
     ), m AS (
       SELECT max(n_lang) AS n_max FROM n
     ), factors AS (
-      SELECT lang, CAST(n_max // n_lang AS BIGINT) AS rep
+      SELECT lang,
+             LEAST(CAST(n_max // n_lang AS BIGINT),
+                   CAST({LANG_REBALANCE_MAX_REP} AS BIGINT)) AS rep
       FROM n CROSS JOIN m
     )
     SELECT d.doc_id, d.lang, CAST(r.i AS BIGINT) AS replica_idx
@@ -2102,12 +2115,17 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def docs_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per (doc, replica): rare langs replicated floor(max/n)x."""
+    """One row per (doc, replica): rare langs replicated
+    min(floor(max/n), LANG_REBALANCE_MAX_REP) times."""
     d = table(spark, sf_dir, "documents")
     n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
     m = n.agg(F.max("n_lang").alias("n_max"))
     factors = n.crossJoin(F.broadcast(m)).select(
-        "lang", F.expr("n_max div n_lang").alias("rep")
+        "lang",
+        F.least(
+            F.expr("n_max div n_lang"),
+            F.lit(LANG_REBALANCE_MAX_REP).cast("long"),
+        ).alias("rep"),
     )
     return (
         d.join(F.broadcast(factors), "lang")
@@ -2160,35 +2178,43 @@ BASKET_MIN_PAIRS = 50
 )
 def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brand pairs co-purchased in one order: support + lift, min-support
-    filtered so the output is the interesting tail, not the pair matrix."""
+    filtered so the output is the interesting tail, not the pair matrix.
+
+    One scan of lineitem: the l⋈p join is aggregated once into per-order
+    brand baskets (collect_set dedups within the order) and persisted, so
+    the three consumers (n_orders, brand_n, pairs) share a single
+    materialization instead of re-running the biggest join in the query
+    up to 4x (r3 VERDICT finding — exchange reuse across the differing
+    subtrees was not guaranteed). Pair expansion is a map-side double
+    explode over the basket array, bounded by basket size (~4-7 brands
+    per order), never an items-level self-join."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    items = (
+    baskets = (
         l.join(p, l.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.collect_set("p_brand").alias("brands"))
+        .persist()
     )
-    n_orders = items.agg(F.count_distinct("okey").alias("n"))
-    brand_n = items.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
-    a = items.alias("a")
-    b = items.alias("b")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    brand_n = (
+        baskets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_brand"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
-        )
+        baskets.select("okey", F.explode("brands").alias("brand_a"), "brands")
+        .select("brand_a", F.explode("brands").alias("brand_b"))
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .where(F.col("n_pair") >= BASKET_MIN_PAIRS)
     )
     na = brand_n.alias("na")
     nb = brand_n.alias("nb")
     return (
-        pairs.join(na, F.col("brand_a") == F.col("na.brand"))
-        .join(nb, F.col("brand_b") == F.col("nb.brand"))
+        pairs.join(F.broadcast(na), F.col("brand_a") == F.col("na.brand"))
+        .join(F.broadcast(nb), F.col("brand_b") == F.col("nb.brand"))
         .crossJoin(F.broadcast(n_orders))
         .select(
             "brand_a",

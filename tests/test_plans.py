@@ -131,6 +131,21 @@ def test_range_join_matches_naive(spark):
     assert {(r["event_id"], r["n"]) for r in naive.collect()} == bucketed
 
 
+def test_basket_lift_single_lineitem_pass(spark):
+    """brand_basket_lift materializes the lineitem⋈part baskets ONCE
+    (persisted) and every consumer reads the cache: the final plan must
+    contain InMemoryTableScan nodes and at most one lineitem parquet scan
+    (r3 VERDICT: uncached 4x reuse of the biggest join in the query)."""
+    df = REGISTRY["brand_basket_lift"].fn(spark, SF_DIR)
+    plan = inspect.formatted_plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    lineitem_scans = [
+        line for line in plan.splitlines()
+        if "Scan parquet" in line and "lineitem" in line
+    ]
+    assert len(lineitem_scans) <= 1, plan
+
+
 def test_hash_split_is_stable_partition(spark):
     """docs_split_assign: every doc gets exactly one split; proportions are
     near 90/5/5; the assignment is a pure function of doc_id (re-running
