@@ -2536,6 +2536,105 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Maximal duplicated-span RANGES (the actual Lee et al. suffix-array
+# output shape): consecutive duplicated gram positions merge into
+# [start_pos, end_pos) token intervals via a lag-based gap-and-island
+# pass. Two positions belong to one island when their K-token grams
+# overlap or touch (gap <= K), so each output row is a maximal
+# contiguous duplicated token range — what an exact-substring dedup
+# actually cuts. Same linear gram-df pipeline as docs_dup_spans (never
+# a doc-pair join); the island window shuffles on doc_id once.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_dup_span_ranges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + {DUP_SPAN_K} - 1), ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(t) - {DUP_SPAN_K} + 2)) AS i
+      ) r
+      WHERE len(t) >= {DUP_SPAN_K}
+    ), gdf AS (
+      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+    ), dup_pos AS (
+      SELECT grams.doc_id, grams.pos
+      FROM grams JOIN gdf ON grams.g = gdf.g
+      WHERE gdf.df >= 2
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {DUP_SPAN_K}
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup_pos
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+             ) AS span_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           min(pos) AS start_pos,
+           max(pos) + {DUP_SPAN_K} AS end_pos,
+           max(pos) + {DUP_SPAN_K} - min(pos) AS span_len
+    FROM islands GROUP BY doc_id, span_id
+    """,
+)
+def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token ranges [start_pos, end_pos) per document.
+
+    A position is duplicated when its 8-token gram appears in another
+    document (gram df >= 2, as docs_dup_spans); overlapping/touching
+    duplicated grams merge into one maximal span. All-integer output —
+    no float canonicalization needed; the island window orders by the
+    unique (doc_id, pos) so ranking is tie-free.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= DUP_SPAN_K
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - (DUP_SPAN_K - 1))
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.col("i").cast("long").alias("pos"),
+        F.array_join(F.slice(F.col("toks"), F.col("i"), DUP_SPAN_K), " ").alias("g"),
+    )
+    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    dup_pos = grams.join(gdf, "g").where(F.col("df") >= 2).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_pos.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > DUP_SPAN_K),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "span_id",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") + DUP_SPAN_K).alias("end_pos"),
+        (F.max("pos") + DUP_SPAN_K - F.min("pos")).alias("span_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Batch ANN within IVF cells: top-3 neighbors for EVERY query vector in
 # one pass, searching only the query's own cell (labels stand in for
 # learned IVF cells, as in knn_ivf). The whole batch is ONE equi-join on

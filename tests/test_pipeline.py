@@ -85,12 +85,18 @@ def write_fixture_csvs(dirpath: str) -> None:
 
 
 @pytest.fixture(scope="module")
-def counts(spark, tmp_path_factory):
+def e2e(spark, tmp_path_factory):
+    """(counts, warehouse_dir) of one composed-pipeline run."""
     base = tmp_path_factory.mktemp("e2e")
     input_dir = str(base / "input")
     wh_dir = str(base / "warehouse")
     write_fixture_csvs(input_dir)
-    return pipeline.run_batch_pipeline(spark, input_dir, wh_dir)
+    return pipeline.run_batch_pipeline(spark, input_dir, wh_dir), wh_dir
+
+
+@pytest.fixture(scope="module")
+def counts(e2e):
+    return e2e[0]
 
 
 def test_golden_row_counts(counts):
@@ -113,6 +119,38 @@ def test_golden_row_counts(counts):
     assert counts["analytics.v_course_performance"] == 10
     assert counts["staging.stg_quality_log"] == 300  # 30 records x 10 rules
     assert counts["metadata.pipeline_runs"] == 1
+
+
+def test_quality_log_matches_flagged_records(spark, e2e):
+    """The audit sink reconciles with the staging quality scores: each
+    failed rule costs 10 points (floor 0 never hit on this fixture), so
+    invalid stg_quality_log rows must equal the total deducted-rule count
+    and cover exactly the flagged records (VERDICT r3 #7)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    _, wh = e2e
+    log = spark.read.parquet(os.path.join(wh, "staging", "stg_quality_log"))
+    stg = spark.read.parquet(os.path.join(wh, "staging", "stg_students"))
+
+    n_invalid_log = log.where(~F.col("is_valid")).count()
+    assert n_invalid_log > 0  # the sink is genuinely populated
+    deducted_rules = stg.select(
+        F.sum(((F.lit(100) - F.col("quality_score")) / 10).cast("long"))
+    ).first()[0]
+    assert n_invalid_log == deducted_rules
+
+    flagged = {
+        r["student_id"]
+        for r in stg.where(F.col("quality_score") < 100).collect()
+    }
+    logged = {
+        r["record_id"] for r in log.where(~F.col("is_valid")).collect()
+    }
+    assert logged == flagged
+    # every invalid row carries its rule's note as the error message
+    assert log.where(~F.col("is_valid") & F.col("error_message").isNull()).count() == 0
 
 
 def test_idempotent_rerun(spark, tmp_path):
