@@ -2074,6 +2074,39 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# l-diversity companion to the k-anonymity screen: a QI group can be
+# large (k-anonymous) yet still leak if everyone in it shares the same
+# sensitive value. Sensitive attribute = account-balance band (1000-wide
+# buckets); groups with fewer than L distinct bands need generalization.
+# Same single hash aggregation as k-anonymity — all-integer output.
+
+L_DIVERSITY_MIN = 3
+
+
+@register(
+    "customer_l_diversity",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS group_size,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             < {L_DIVERSITY_MIN} AS needs_generalization
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct sensitive-value (acctbal band) count per QI group with a
+    below-L flag."""
+    c = table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.count_distinct(band).alias("l_distinct"),
+        (F.count_distinct(band) < L_DIVERSITY_MIN).alias("needs_generalization"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Class rebalancing: deterministic integer upsampling of under-
 # represented languages toward the majority (en is ~3.5x fr on this

@@ -3752,3 +3752,212 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination by NEAR-duplicate (not just exact match): SimHash
+# near-pairs whose endpoints land in different train/val/test splits.
+# Exact-match decontamination (docs_decontamination) misses lightly
+# edited copies; this catches them. Both inputs are pure functions —
+# the near-pair join is the only shuffle, and the split label is computed
+# map-side from doc_id (no join against an assignment table).
+# ---------------------------------------------------------------------------
+
+
+def _split_case(col: Column) -> Column:
+    b = _hash_bucket(col, 100)
+    return F.when(b < 90, "train").when(b < 95, "val").otherwise("test")
+
+
+def _sql_split_case(expr: str) -> str:
+    return (
+        f"CASE WHEN {_sql_hash_bucket(expr, 100)} < 90 THEN 'train' "
+        f"WHEN {_sql_hash_bucket(expr, 100)} < 95 THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=f"""{_SQL_SIMHASH_WORDS},
+    bands AS (
+{_SQL_SIMHASH_BANDS}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {_SQL_HAMMING} AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+      WHERE {_SQL_HAMMING} <= {SIMHASH_HAM_MAX}
+    ), labeled AS (
+      SELECT doc_a, doc_b, hamming,
+             {_sql_split_case('doc_a')} AS split_a,
+             {_sql_split_case('doc_b')} AS split_b
+      FROM pairs
+    )
+    SELECT * FROM labeled WHERE split_a != split_b
+    """,
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (SimHash hamming <= 3) crossing split boundaries —
+    the documents an exact-match decontamination pass would leak."""
+    pairs = simhash_near_pairs(spark, sf_dir)
+    labeled = pairs.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        _split_case(F.col("doc_a")).alias("split_a"),
+        _split_case(F.col("doc_b")).alias("split_b"),
+    )
+    return labeled.where(F.col("split_a") != F.col("split_b"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based multilingual sampling (the mT5/XLM-R recipe): language
+# sampling probability p_l proportional to n_l^alpha with alpha < 1, which
+# flattens the head and lifts rare languages without the unbounded
+# replication a pure rebalance implies. Pure aggregate over |langs| rows —
+# every float is string-route quantized before the cross-language sum, so
+# the result is partition-order-free on both engines.
+# ---------------------------------------------------------------------------
+
+TEMP_MIX_ALPHA = 0.3
+
+
+@register(
+    "docs_temperature_mix",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_docs,
+             CAST(CAST(CAST(pow(n_docs, {TEMP_MIX_ALPHA}) AS VARCHAR)
+                  AS DECIMAL(38,6)) AS DOUBLE) AS wgt
+      FROM n
+    ), t AS (
+      SELECT CAST(sum(CAST(CAST(wgt AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
+               AS tot,
+             CAST(sum(n_docs) AS BIGINT) AS n_total
+      FROM w
+    )
+    SELECT w.lang, w.n_docs,
+           {sql_dround('w.wgt / t.tot', 6)} AS sample_prob,
+           {sql_dround('(w.wgt / t.tot) * t.n_total / w.n_docs', 4)}
+             AS upsample_factor
+    FROM w CROSS JOIN t
+    """,
+)
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling probability n^alpha / sum(n^alpha) and the
+    implied upsample factor vs natural frequency (alpha=0.3)."""
+    d = table(spark, sf_dir, "documents")
+    n = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = n.select(
+        "lang",
+        "n_docs",
+        dround(F.pow(F.col("n_docs"), F.lit(TEMP_MIX_ALPHA)), 6).alias("wgt"),
+    )
+    t = w.agg(
+        F.sum(F.col("wgt").cast("string").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("tot"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        dround(F.col("wgt") / F.col("tot"), 6).alias("sample_prob"),
+        dround(
+            (F.col("wgt") / F.col("tot")) * F.col("n_total") / F.col("n_docs"), 4
+        ).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope per language: the exponent of the term-frequency power law,
+# fit by least squares on (ln rank, ln freq) over the top-N terms. A
+# healthy natural-language corpus sits near -1; templated or synthetic
+# text drifts far off — a cheap corpus-quality fingerprint. The fit sums
+# are quantized per row and summed as exact decimals, so the slope is
+# identical on both engines regardless of partitioning; covar_pop/
+# regr_slope are deliberately NOT used (their double accumulation is
+# partition-order-dependent).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 500
+
+
+@register(
+    "docs_zipf_slope",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, t AS term, count(*) AS freq
+      FROM (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+      )
+      GROUP BY lang, t
+    ), ranked AS (
+      SELECT lang, freq,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY freq DESC, term
+             ) AS rnk
+      FROM tf
+    ), pts AS (
+      SELECT lang,
+             {sql_dround('ln(rnk)', 8)} AS x,
+             {sql_dround('ln(freq)', 8)} AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+    ), sums AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(CAST(x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(CAST(y AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(CAST({sql_dround('x * y', 8)} AS VARCHAR)
+                  AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(CAST({sql_dround('x * x', 8)} AS VARCHAR)
+                  AS DECIMAL(28,10))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n AS n_terms,
+           {sql_dround('(n * sxy - sx * sy) / (n * sxx - sx * sx)', 4)}
+             AS zipf_slope
+    FROM sums
+    """,
+)
+def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) vs ln(rank) over the top-500 terms
+    per language (ties broken by term so ranks are engine-stable)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("term"))
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ZIPF_TOP_N)
+        .select(
+            "lang",
+            dround(F.log(F.col("rnk")), 8).alias("x"),
+            dround(F.log(F.col("freq")), 8).alias("y"),
+        )
+    )
+    dec = lambda c: c.cast("string").cast("decimal(28,10)")  # noqa: E731
+    sums = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(dround(F.col("x") * F.col("y"), 8))).cast("double").alias("sxy"),
+        F.sum(dec(dround(F.col("x") * F.col("x"), 8))).cast("double").alias("sxx"),
+    )
+    return sums.select(
+        "lang",
+        F.col("n").alias("n_terms"),
+        dround(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+    )

@@ -115,6 +115,64 @@ def main():
     print(f"sequence packing: {d1.count()} docs in {p1}s; {d8.count()} in {p8}s; "
           f"8x data -> {round(p8 / max(p1, 1e-9), 1)}x time")
 
+    # Gram-pipeline linearity (VERDICT r3 #5): the three round-3 gram
+    # queries at 1x vs 8x documents, run through the EXACT shipped
+    # registry code by materializing the 8x corpus as a documents.parquet
+    # the suite fns can read. The self-union keeps doc_ids identical, so
+    # the gram-df distribution is unchanged and volume is the only
+    # variable: gram-table rows must scale exactly 8x (linear in corpus
+    # size — these pipelines are never a doc-pair join), wall-clock and
+    # shuffle volume ~linear. Shuffle bytes come from the UI REST API
+    # (sum of completed stages' shuffle writes, deltas around each run).
+    import json as _json
+    import shutil
+    import tempfile
+    import urllib.request
+
+    from edu_data_pipeline_spark.suite import load_all
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        DUP_SPAN_K, _distinct_shingles, gram_rows,
+    )
+
+    def shuffle_write_bytes():
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as resp:
+            stages = _json.load(resp)
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+    reg = load_all()
+    tmp8 = tempfile.mkdtemp(prefix="gram8x-")
+    d8.write.mode("overwrite").parquet(os.path.join(tmp8, "documents.parquet"))
+    try:
+        for name in ("docs_dup_spans", "docs_ngram_novelty", "docs_cdc_chunks"):
+            fn = reg[name].fn
+            timed(fn(spark, sf))  # warm
+            sb0 = shuffle_write_bytes()
+            g1 = timed(fn(spark, sf))
+            sb1 = shuffle_write_bytes()
+            g8 = timed(fn(spark, tmp8))
+            sb8 = shuffle_write_bytes()
+            mb1, mb8 = (sb1 - sb0) / 1e6, (sb8 - sb1) / 1e6
+            print(f"{name}: 1x {g1}s / {mb1:.1f} MB shuffle; "
+                  f"8x {g8}s / {mb8:.1f} MB shuffle; "
+                  f"time {round(g8 / max(g1, 1e-9), 1)}x, "
+                  f"shuffle {round(mb8 / max(mb1, 1e-9), 1)}x")
+        d8r = spark.read.parquet(os.path.join(tmp8, "documents.parquet"))
+        n1 = gram_rows(d1, DUP_SPAN_K, out="g").count()
+        n8 = gram_rows(d8r, DUP_SPAN_K, out="g").count()
+        s1 = _distinct_shingles(d1).count()
+        s8 = _distinct_shingles(d8r).count()
+        print(f"gram-table rows k={DUP_SPAN_K} (with dups): 1x {n1}; 8x {n8}; "
+              f"{round(n8 / max(n1, 1), 2)}x")
+        print(f"distinct 3-shingle rows: 1x {s1}; 8x {s8}; "
+              f"{round(s8 / max(s1, 1), 2)}x "
+              f"(identical doc_ids -> distinct set collapses back to 1x)")
+    finally:
+        shutil.rmtree(tmp8, ignore_errors=True)
+
     # connected components: round count vs topology (VERDICT r2 #7).
     # Worst case for plain min-label propagation is one long CHAIN —
     # the min label creeps one hop per round, so rounds == chain length.
