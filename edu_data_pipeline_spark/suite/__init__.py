@@ -189,6 +189,7 @@ def load_all() -> dict[str, SuiteEntry]:
     """Import every suite module so registrations run, then return the registry."""
     from . import analytics_suite  # noqa: F401
     from . import cleaning_suite  # noqa: F401
+    from . import curation_suite  # noqa: F401
     from . import scale_suite  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,242 @@
+"""Curation-suite invariants: Bloom screen FP accounting, SemDeDup drop
+rules, quality-classifier verdict consistency, contamination fractions,
+and the cross-source MinHash overlap estimator — crafted corpora for the
+decision edges, real testdata for the global invariants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from edu_data_pipeline_spark.suite import load_all
+from edu_data_pipeline_spark.suite.curation_suite import (
+    CONTAM_FRAC_T,
+    QC_HIGH_T,
+    QC_KEEP_T,
+    SEMDEDUP_TAU,
+)
+
+REG = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(spark, tmp_path, docs):
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _doc(doc_id, tokens, source):
+    text = " ".join(tokens)
+    return (doc_id, text, "en", source, len(text))
+
+
+# ---------------------------------------------------------------------------
+# Bloom screen
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_real(spark):
+    """Bloom-positive must be a superset of exact membership on the real
+    corpus, and the FP column must reconcile exactly."""
+    rows = REG["docs_bloom_screen"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"], r
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_exact_hits"], r
+        assert r["n_grams"] >= r["n_bloom_hits"], r
+
+
+def test_bloom_crafted_hits(spark, tmp_path):
+    """A doc sharing its full shingle set with the eval source is fully
+    bloom-hit AND fully exact-hit; a disjoint doc has zero exact hits."""
+    shared = [f"s{i}" for i in range(20)]
+    other = [f"o{i}" for i in range(20)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, shared, "src0"),  # eval member
+            _doc(1, shared, "src1"),  # exact copy in train
+            _doc(2, other, "src2"),  # disjoint
+        ],
+    )
+    rows = {r["doc_id"]: r for r in REG["docs_bloom_screen"].fn(spark, sf).collect()}
+    assert set(rows) == {1, 2}  # eval docs are not probed
+    assert rows[1]["n_exact_hits"] == rows[1]["n_grams"] == rows[1]["n_bloom_hits"]
+    assert rows[2]["n_exact_hits"] == 0
+    assert rows[2]["n_bloom_hits"] == rows[2]["n_false_pos"]
+
+
+# ---------------------------------------------------------------------------
+# Contamination fraction
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_crafted_verdicts(spark, tmp_path):
+    eval_toks = [f"e{i}" for i in range(16)]
+    clean_toks = [f"c{i}" for i in range(16)]
+    # half the grams of this doc come from the eval text -> way over 10%
+    dirty_toks = eval_toks[:12] + [f"d{i}" for i in range(12)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, eval_toks, "src0"),
+            _doc(1, dirty_toks, "src1"),
+            _doc(2, clean_toks, "src2"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in
+            REG["docs_contamination_frac"].fn(spark, sf).collect()}
+    assert set(rows) == {1, 2}  # eval docs excluded, zero-overlap docs KEPT
+    assert rows[1]["contaminated"] is True
+    assert rows[1]["n_overlap"] == 5  # 8-grams fully inside eval_toks[:12]
+    assert rows[2]["contaminated"] is False
+    assert rows[2]["n_overlap"] == 0
+
+
+def test_contamination_bounds_real(spark):
+    rows = REG["docs_contamination_frac"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= r["n_grams"]
+        assert 0.0 <= r["overlap_frac"] <= 1.0
+        assert r["contaminated"] == (r["overlap_frac"] > CONTAM_FRAC_T)
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_verdicts_consistent(spark):
+    rows = REG["docs_quality_classifier"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        expected = (
+            "high"
+            if r["quality_score"] >= QC_HIGH_T
+            else "mid"
+            if r["quality_score"] >= QC_KEEP_T
+            else "low"
+        )
+        assert r["quality_label"] == expected
+        assert r["keep"] == (r["quality_score"] >= QC_KEEP_T)
+
+
+def test_quality_classifier_degenerate_doc(spark, tmp_path):
+    """An all-stopword one-word-vocabulary doc must score low; a long
+    diverse doc must beat it."""
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, ["the"] * 50, "src0"),
+            _doc(1, [f"w{i}" for i in range(200)], "src1"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in
+            REG["docs_quality_classifier"].fn(spark, sf).collect()}
+    assert rows[0]["quality_score"] < rows[1]["quality_score"]
+    assert rows[0]["quality_label"] == "low"
+    assert rows[1]["keep"] is True
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drop_rules_real(spark):
+    rows = REG["embedding_semantic_dedup"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["kept_vec"] < r["dropped_vec"]
+        assert r["n_close"] >= 1
+        assert r["max_cosine"] >= SEMDEDUP_TAU
+
+
+def test_semantic_dedup_crafted_identical_vectors(spark, tmp_path):
+    """Identical vectors always share every LSH bucket, so copies of
+    vec 0 must be dropped against it; an opposite-direction vector
+    (cosine -1) survives."""
+    base = [1.0, 0.5, -0.25, 2.0] * 16  # dim 64
+    neg = [-v for v in base]
+    rows_in = [
+        (0, base, 0),
+        (1, list(base), 0),
+        (2, list(base), 1),
+        (3, neg, 1),
+    ]
+    spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["dropped_vec"]: r for r in
+           REG["embedding_semantic_dedup"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["kept_vec"] == 0 and out[2]["kept_vec"] == 0
+    assert out[1]["max_cosine"] == 1.0
+    assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# Cross-source MinHash overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_matrix_shape_real(spark):
+    rows = REG["source_minhash_overlap"].fn(spark, SF).collect()
+    srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2  # every unordered pair once
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert 0 <= r["n_matches"] <= 16
+        assert abs(r["est_jaccard"] - r["n_matches"] / 16) < 1e-9
+
+
+def test_source_overlap_identical_vs_disjoint(spark, tmp_path):
+    """Two sources with identical shingle sets estimate Jaccard 1.0; a
+    token-disjoint third source estimates far below."""
+    a = [f"a{i}" for i in range(40)]
+    b = [f"b{i}" for i in range(40)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, a, "srcA"),
+            _doc(1, a, "srcB"),
+            _doc(2, b, "srcC"),
+        ],
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in
+            REG["source_minhash_overlap"].fn(spark, sf).collect()}
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    assert rows[("srcA", "srcB")]["n_matches"] == 16
+    assert rows[("srcA", "srcB")]["est_jaccard"] == 1.0
+    assert rows[("srcA", "srcC")]["n_matches"] < 16
+
+
+def test_source_overlap_agrees_with_exact_on_real(spark):
+    """Sketch estimate vs exact shingle-set Jaccard: mean absolute error
+    over all source pairs must beat the 16-permutation standard error
+    (1/sqrt(16) = 0.25) by a wide margin."""
+    est = {(r["src_a"], r["src_b"]): r["est_jaccard"]
+           for r in REG["source_minhash_overlap"].fn(spark, SF).collect()}
+    from edu_data_pipeline_spark.sources.testdata import table
+    from edu_data_pipeline_spark.suite.scale_suite import _distinct_shingles
+
+    d = table(spark, SF, "documents")
+    sh = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    src_sets: dict[str, set] = {}
+    for r in sh.select("source", "s").distinct().collect():
+        src_sets.setdefault(r["source"], set()).add(r["s"])
+    errs = []
+    for (sa, sb), e in est.items():
+        inter = len(src_sets[sa] & src_sets[sb])
+        union = len(src_sets[sa] | src_sets[sb])
+        errs.append(abs(e - inter / union))
+    assert sum(errs) / len(errs) < 0.15
