@@ -64,8 +64,14 @@ HEADLINE = [
     "docs_unigram_logprob",
     "docs_cdc_chunks",
     "knn_ivf_multiprobe",
-    # round-4 additions: maximal duplicated-span ranges
+    # round-4 additions: maximal duplicated-span ranges + curation suite
     "docs_dup_span_ranges",
+    "docs_bloom_screen",
+    "embedding_semantic_dedup",
+    "docs_contamination_frac",
+    "source_minhash_overlap",
+    "docs_cms_term_freq",
+    "docs_continuation_pairs",
 ]
 
 

@@ -638,3 +638,100 @@ def psi_against_baseline(window_counts: DataFrame, baseline: DataFrame) -> DataF
         .agg(F.sum("term").alias("psi"))
         .withColumn("drift_alarm", F.col("psi") > alarm)
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom decontamination: quarantine incoming documents whose
+# shingles hit the eval-set Bloom bitmap. The bitmap builder, hash
+# family, and m/k constants are IMPORTED from the batch screen
+# (suite.curation_suite.docs_bloom_screen), so the stream router and
+# the batch query can never desynchronize — the same shared-constants
+# contract the PSI drift monitor follows.
+# ---------------------------------------------------------------------------
+
+
+def bloom_doc_verdicts(
+    docs: DataFrame, bloom: DataFrame, max_hits: int = 0
+) -> DataFrame:
+    """Per-document Bloom verdicts over a BATCH of (doc_id, text) rows:
+    distinct-gram count, Bloom-positive count, and the quarantine flag
+    (> max_hits positives). Bloom has no false negatives, so a clean
+    verdict here is definitive; positives are a superset of true eval
+    overlaps and go to quarantine for the (rarer, more expensive) exact
+    recheck. Runs inside foreachBatch — identical code screens a static
+    corpus."""
+    from ..suite.curation_suite import bloom_gram_flags
+
+    grams = streaming_shingle_rows(docs).distinct()
+    flags = bloom_gram_flags(grams, bloom)
+    return (
+        flags.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("bloom_pos"), 1)).alias("n_bloom_hits"),
+        )
+        .withColumn("quarantine", F.col("n_bloom_hits") > max_hits)
+    )
+
+
+def foreach_batch_bloom_quarantine(
+    bloom: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    max_hits: int = 0,
+):
+    """Micro-batch router: score each doc against the broadcast bitmap,
+    append contaminated docs (with their hit counts) to the quarantine
+    sink and the rest to the clean sink. One source read per batch, two
+    consistent sinks — the foreach_batch_fanout pattern. Docs too short
+    to produce a shingle carry zero hits and route clean."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            verdicts = bloom_doc_verdicts(batch_df, bloom, max_hits)
+            routed = (
+                batch_df.join(
+                    verdicts.select("doc_id", "n_bloom_hits", "quarantine"),
+                    "doc_id",
+                    "left",
+                )
+                .withColumn(
+                    "n_bloom_hits", F.coalesce(F.col("n_bloom_hits"), F.lit(0))
+                )
+                .withColumn(
+                    "quarantine", F.coalesce(F.col("quarantine"), F.lit(False))
+                )
+                .withColumn("stream_batch_id", F.lit(batch_id))
+            )
+            routed.where(F.col("quarantine")).write.mode("append").parquet(
+                quarantine_path
+            )
+            routed.where(~F.col("quarantine")).write.mode("append").parquet(
+                clean_path
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def start_bloom_quarantine_stream(
+    doc_stream: DataFrame,
+    bloom: DataFrame,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """Wire the Bloom router to a document stream (AvailableNow for
+    replay/backfill; remove the trigger for continuous ingest)."""
+    return (
+        doc_stream.writeStream.foreachBatch(
+            foreach_batch_bloom_quarantine(bloom, clean_path, quarantine_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

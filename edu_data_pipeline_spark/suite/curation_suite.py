@@ -194,7 +194,12 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    buckets = embedding_lsh_buckets(spark, sf_dir)
+    # Persist the bucket frame: both sides of the candidate self-join
+    # consume it, and the 24-hyperplane projection tree (24 x dim literal
+    # coefficients) is expensive to PLAN as much as to run — materializing
+    # it once keeps the big expression out of both join branches (the
+    # same single-pass fix brand_basket_lift applies to its basket frame).
+    buckets = embedding_lsh_buckets(spark, sf_dir).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -411,6 +416,78 @@ _SQL_BLOOM_POSITIONS = "\n      UNION ALL\n".join(
 )
 
 
+def _bloom_positions(grams: DataFrame, *carry: str) -> DataFrame:
+    """(carry..., s, pos) rows: each gram's BLOOM_K bit positions."""
+    m = F.md5(F.col("s"))
+    halves = grams.select(
+        *carry,
+        "s",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    return halves.select(
+        *carry,
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("h1") + j * F.col("h2")) % BLOOM_M_BITS)
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos"),
+    )
+
+
+# SQL shiftleft accepts a column shift amount (the PySpark wrapper only
+# takes a literal int); 32-bit words so the mask never touches the sign
+_WORD_IDX = "pos div 32"
+_MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+
+
+def bloom_bitmap(grams: DataFrame) -> DataFrame:
+    """(word_idx, word) Bloom bitmap over a gram frame's ``s`` column —
+    the map-side-combinable build shared by the batch screen query and
+    the streaming quarantine router (same constants, so the two can
+    never desynchronize)."""
+    return (
+        _bloom_positions(grams)
+        .select(F.expr(_WORD_IDX).alias("word_idx"), F.expr(_MASK).alias("mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
+    """(doc_id, s, bloom_pos) membership flags: probe each gram's
+    BLOOM_K positions against the BROADCAST bitmap; positive iff every
+    bit is set."""
+    probe = (
+        _bloom_positions(grams, "doc_id")
+        .select(
+            "doc_id",
+            "s",
+            F.expr(_WORD_IDX).alias("word_idx"),
+            F.expr(_MASK).alias("mask"),
+        )
+        .join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "doc_id",
+            "s",
+            F.when(
+                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")))
+                != 0,
+                1,
+            )
+            .otherwise(0)
+            .alias("bit_set"),
+        )
+    )
+    return probe.groupBy("doc_id", "s").agg(
+        (F.min("bit_set") == 1).alias("bloom_pos")
+    )
+
+
 @register(
     "docs_bloom_screen",
     oracle=f"""
@@ -475,55 +552,9 @@ def docs_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     tagged = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
-    m = F.md5(F.col("s"))
-    halves = tagged.select(
-        "doc_id",
-        "source",
-        "s",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-    positions = halves.select(
-        "doc_id",
-        "source",
-        "s",
-        F.explode(
-            F.array(
-                *[
-                    ((F.col("h1") + j * F.col("h2")) % BLOOM_M_BITS)
-                    for j in range(BLOOM_K)
-                ]
-            )
-        ).alias("pos"),
-    )
-    word_idx = F.expr("pos div 32")
-    # SQL shiftleft accepts a column shift amount (the PySpark wrapper
-    # only takes a literal int)
-    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
-    bloom = (
-        positions.where(F.col("source") == DECON_EVAL_SOURCE)
-        .select(word_idx.alias("word_idx"), mask.alias("mask"))
-        .groupBy("word_idx")
-        .agg(F.bit_or("mask").alias("word"))
-    )
-    probe = (
-        positions.where(F.col("source") != DECON_EVAL_SOURCE)
-        .select("doc_id", "s", word_idx.alias("word_idx"), mask.alias("mask"))
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            "doc_id",
-            "s",
-            F.when(
-                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")))
-                != 0,
-                1,
-            )
-            .otherwise(0)
-            .alias("bit_set"),
-        )
-    )
-    per_gram = probe.groupBy("doc_id", "s").agg(
-        (F.min("bit_set") == 1).alias("bloom_pos")
+    bloom = bloom_bitmap(tagged.where(F.col("source") == DECON_EVAL_SOURCE))
+    per_gram = bloom_gram_flags(
+        tagged.where(F.col("source") != DECON_EVAL_SOURCE), bloom
     )
     eval_s = (
         tagged.where(F.col("source") == DECON_EVAL_SOURCE)
@@ -538,4 +569,245 @@ def docs_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("exact_hit"), 1)).alias("n_exact_hits"),
         F.count(F.when(F.col("bloom_pos") & ~F.coalesce(F.col("exact_hit"), F.lit(False)), 1))
         .alias("n_false_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Count-Min sketch term frequencies with overestimate accounting
+# ---------------------------------------------------------------------------
+
+CMS_D = 3  # hash rows: bucket_j = (h1 + j*h2) mod CMS_W
+CMS_W = 64  # buckets per row — deliberately small so the testdata corpus
+# (vocabulary ~30 terms) actually exhibits collisions and the
+# overestimate column is non-trivially exercised; production sizing is
+# W = ceil(e / eps) (e.g. 2^20 for eps ~ 2.6e-6), which only changes
+# this literal. The sketch is (D x W) counters however large the corpus.
+CMS_TOP_N = 20
+
+_SQL_CMS_BUCKETS = "\n      UNION ALL\n".join(
+    f"      SELECT {j} AS row_j, ((h1 + {j} * h2) % {CMS_W}) AS bucket"
+    f" FROM halves"
+    for j in range(CMS_D)
+)
+
+_SQL_CMS_TOP_BUCKETS = "\n      UNION ALL\n".join(
+    f"      SELECT t, exact_count, {j} AS row_j,"
+    f" ((h1 + {j} * h2) % {CMS_W}) AS bucket FROM top_h"
+    for j in range(CMS_D)
+)
+
+
+@register(
+    "docs_cms_term_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), halves AS (
+      SELECT CAST(CAST('0x' || substr(md5(t), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(md5(t), 9, 8) AS UINTEGER) AS BIGINT) AS h2
+      FROM toks
+    ), buckets AS (
+{_SQL_CMS_BUCKETS}
+    ), sketch AS (
+      SELECT row_j, bucket, count(*) AS cnt FROM buckets GROUP BY row_j, bucket
+    ), tf AS (
+      SELECT t, count(*) AS exact_count FROM toks GROUP BY t
+    ), top AS (
+      SELECT t, exact_count FROM tf
+      ORDER BY exact_count DESC, t LIMIT {CMS_TOP_N}
+    ), top_h AS (
+      SELECT t, exact_count,
+             CAST(CAST('0x' || substr(md5(t), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
+             CAST(CAST('0x' || substr(md5(t), 9, 8) AS UINTEGER) AS BIGINT) AS h2
+      FROM top
+    ), top_buckets AS (
+{_SQL_CMS_TOP_BUCKETS}
+    ), est AS (
+      SELECT tb.t, tb.exact_count, min(s.cnt) AS cms_estimate
+      FROM top_buckets tb JOIN sketch s
+        ON s.row_j = tb.row_j AND s.bucket = tb.bucket
+      GROUP BY tb.t, tb.exact_count
+    )
+    SELECT t AS token, exact_count, cms_estimate,
+           cms_estimate - exact_count AS overestimate
+    FROM est
+    """,
+)
+def docs_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus token stream, read back for the
+    exact top-20 terms with the per-term overestimate (CMS never
+    underestimates — locked by pytest).
+
+    Scale shape: the sketch build is ONE groupBy over (row, bucket) —
+    D x W counters total, map-side combinable and mergeable across
+    shards (the sketch property that matters in a streaming/sharded
+    pipeline; same Carter-Wegman hash family as the MinHash and Bloom
+    stages). The exact-count side exists only to ground the accuracy
+    report; a production pipeline keeps the sketch and drops the exact
+    pass. Probing joins the top terms' D bucket keys against the
+    broadcast sketch."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
+    m = F.md5(F.col("t"))
+    halves = toks.select(
+        "t",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    buckets = halves.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        ((F.col("h1") + j * F.col("h2")) % CMS_W).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_j", "rb.bucket")
+    sketch = buckets.groupBy("row_j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = tf.orderBy(F.desc("exact_count"), F.asc("t")).limit(CMS_TOP_N)
+    top_buckets = top.select(
+        "t",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        (
+                            (
+                                F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+                                .cast("long")
+                                + j
+                                * F.conv(
+                                    F.substring(F.md5(F.col("t")), 9, 8), 16, 10
+                                ).cast("long")
+                            )
+                            % CMS_W
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("t", "exact_count", "rb.row_j", "rb.bucket")
+    est = (
+        top_buckets.join(F.broadcast(sketch), ["row_j", "bucket"])
+        .groupBy("t", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("t").alias("token"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. Dedup funnel report: survivors after each dedup stage
+# ---------------------------------------------------------------------------
+
+
+def _funnel_oracle() -> str:
+    from .scale_suite import _SQL_COMPONENT_CTES
+
+    return f"""{_SQL_COMPONENT_CTES}
+    SELECT 0 AS stage_idx, 'raw' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    UNION ALL
+    SELECT 1, 'exact_dedup', CAST(count(DISTINCT md5(text)) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 2, 'near_dedup', CAST(count(DISTINCT component) AS BIGINT) FROM comp
+    """
+
+
+@register("dedup_funnel_report", oracle=_funnel_oracle())
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus curator's one-glance funnel: documents surviving each
+    dedup stage — raw, exact (distinct raw-text digest), near-dup
+    (distinct MinHash-verified connected component). Exact copies share
+    shingle sets, so components subsume exact groups and the funnel is
+    monotone by construction (locked by pytest). Three scalar aggregates
+    UNION ALLed — each stage reuses the shipped pipeline stage, so this
+    report can never drift from what the dedup actually does."""
+    d = table(spark, sf_dir, "documents")
+    from .scale_suite import dedup_components
+
+    n_raw = d.agg(F.count(F.lit(1)).alias("n"))
+    n_exact = d.select(F.md5("text").alias("h")).agg(
+        F.count_distinct("h").alias("n")
+    )
+    n_near = (
+        dedup_components(spark, sf_dir)
+        .agg(F.count_distinct("component").alias("n"))
+    )
+    stages = [
+        n_raw.select(F.lit(0).alias("stage_idx"), F.lit("raw").alias("stage"), "n"),
+        n_exact.select(
+            F.lit(1).alias("stage_idx"), F.lit("exact_dedup").alias("stage"), "n"
+        ),
+        n_near.select(
+            F.lit(2).alias("stage_idx"), F.lit("near_dedup").alias("stage"), "n"
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.select("stage_idx", "stage", F.col("n").cast("long").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# 8. Continuation pairs: doc A's suffix == doc B's prefix
+# ---------------------------------------------------------------------------
+
+CONT_K = 3  # boundary width in tokens
+
+
+@register(
+    "docs_continuation_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ), fp AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{CONT_K}], ' ') AS prefix,
+             array_to_string(toks[len(toks)-{CONT_K - 1}:len(toks)], ' ') AS suffix
+      FROM t WHERE len(toks) >= {2 * CONT_K}
+    )
+    SELECT a.doc_id AS prev_doc, b.doc_id AS next_doc, a.suffix AS bridge
+    FROM fp a JOIN fp b ON a.suffix = b.prefix AND a.doc_id <> b.doc_id
+    """,
+)
+def docs_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-stitching candidates: pairs where one doc's last CONT_K
+    tokens equal another's first CONT_K — the signature of a single
+    source document split across extraction shards (the re-join pass a
+    crawl pipeline runs before dedup, so half-docs don't defeat exact
+    hashing). One equi-join on the boundary string; skew is bounded by
+    boundary-gram frequency and a df-cap like the shingle stop list
+    applies unchanged if a boilerplate boundary ever dominates."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 2 * CONT_K
+    )
+    fp = toks.select(
+        "doc_id",
+        F.array_join(F.slice(F.col("toks"), 1, CONT_K), " ").alias("prefix"),
+        F.array_join(F.slice(F.col("toks"), -CONT_K, CONT_K), " ").alias("suffix"),
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.suffix") == F.col("b.prefix"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("prev_doc"),
+        F.col("b.doc_id").alias("next_doc"),
+        F.col("a.suffix").alias("bridge"),
     )

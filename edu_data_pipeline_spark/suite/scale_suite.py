@@ -1301,19 +1301,26 @@ def _hp_values(p: int, dim: int) -> list[float]:
 
 
 def _hyperplane_bits(table_idx: int, dim: int) -> Column:
-    """4-bit sign signature under deterministic md5-derived hyperplanes."""
-    sig = None
+    """4-bit sign signature under deterministic md5-derived hyperplanes.
+
+    Built as ONE SQL expression string per table: the previous
+    Column-algebra construction issued a py4j round trip per literal
+    coefficient (N_LSH_BITS x dim ~ 256 per table, ~1500 per query),
+    which made query CONSTRUCTION the dominant cost (~6 s at bench
+    scale) while execution was <1 s. Same expression tree, same doubles
+    (repr() round-trips exactly and `D`-suffixed literals parse as
+    doubles, not decimals), so results and oracles are unchanged —
+    locked by the existing bucket-assignment parity row."""
+    terms = []
     for b in range(N_LSH_BITS):
         p = table_idx * N_LSH_BITS + b
-        hp = F.array(*[F.lit(v) for v in _hp_values(p, dim)])
-        dot_p = F.aggregate(
-            F.zip_with(F.col("emb"), hp, lambda x, h: x * h),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ", ".join(f"{v!r}D" for v in _hp_values(p, dim))
+        dot = (
+            f"aggregate(zip_with(emb, array({arr}), (x, h) -> x * h), "
+            "0.0D, (acc, v) -> acc + v)"
         )
-        bit = F.when(dot_p > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig.cast("int")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
 
 
 def _sql_hplane(p: int) -> str:

@@ -240,3 +240,83 @@ def test_source_overlap_agrees_with_exact_on_real(spark):
         union = len(src_sets[sa] | src_sets[sb])
         errs.append(abs(e - inter / union))
     assert sum(errs) / len(errs) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_real(spark):
+    rows = REG["docs_cms_term_freq"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_cms_crafted_counts(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [_doc(0, ["x"] * 10 + ["y"] * 5 + ["z"], "src0")],
+    )
+    rows = {r["token"]: r for r in REG["docs_cms_term_freq"].fn(spark, sf).collect()}
+    assert rows["x"]["exact_count"] == 10
+    assert rows["y"]["exact_count"] == 5
+    for r in rows.values():
+        assert r["cms_estimate"] >= r["exact_count"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_monotone_real(spark):
+    rows = sorted(
+        REG["dedup_funnel_report"].fn(spark, SF).collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == ["raw", "exact_dedup", "near_dedup"]
+    assert rows[0]["n_docs"] >= rows[1]["n_docs"] >= rows[2]["n_docs"]
+
+
+def test_funnel_crafted_stages(spark, tmp_path):
+    """Exact copy collapses at stage 1; a one-token-appended near-dup
+    collapses only at stage 2; the distinct doc survives everything."""
+    a = [f"a{i}" for i in range(20)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, a, "src0"),
+            _doc(1, a, "src0"),              # exact copy of 0
+            _doc(2, a + ["tail"], "src0"),   # near-dup of 0 (J = 18/19)
+            _doc(3, [f"b{i}" for i in range(20)], "src0"),
+        ],
+    )
+    rows = {r["stage"]: r["n_docs"] for r in
+            REG["dedup_funnel_report"].fn(spark, sf).collect()}
+    assert rows == {"raw": 4, "exact_dedup": 3, "near_dedup": 2}
+
+
+# ---------------------------------------------------------------------------
+# Continuation pairs
+# ---------------------------------------------------------------------------
+
+
+def test_continuation_crafted_pair(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, ["a1", "a2", "a3", "p", "q", "r"], "src0"),
+            _doc(1, ["p", "q", "r", "b1", "b2", "b3"], "src0"),
+            _doc(2, ["c1", "c2", "c3", "c4", "c5", "c6"], "src0"),
+        ],
+    )
+    rows = REG["docs_continuation_pairs"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0]["prev_doc"], rows[0]["next_doc"]) == (0, 1)
+    assert rows[0]["bridge"] == "p q r"

@@ -643,3 +643,73 @@ def test_psi_counts_vanished_buckets(spark):
     out = jobs.psi_against_baseline(live, baseline).collect()
     assert len(out) == 1
     assert out[0]["psi"] > 0.2 and out[0]["drift_alarm"] is True, out
+
+
+def test_stream_bloom_quarantine_routes(spark, tmp_path):
+    """Streaming twin of docs_bloom_screen: a doc sharing a shingle with
+    the eval set must land in quarantine with its hit count; a novel doc
+    (and one too short to shingle) must land clean. No false negatives:
+    the clean sink can never contain a true eval overlap."""
+    import json as _json
+
+    from edu_data_pipeline_spark.suite.curation_suite import bloom_bitmap
+    from edu_data_pipeline_spark.suite.scale_suite import _distinct_shingles
+
+    eval_docs = spark.createDataFrame(
+        [(0, "secret eval answer tokens here now")],
+        "doc_id long, text string",
+    )
+    bloom = bloom_bitmap(_distinct_shingles(eval_docs))
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 10, "text": "leading words then secret eval answer copied"},
+        {"doc_id": 11, "text": "completely unrelated clean document words"},
+        {"doc_id": 12, "text": "too short"},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    clean_p = str(tmp_path / "clean")
+    quar_p = str(tmp_path / "quarantine")
+    q = jobs.start_bloom_quarantine_stream(
+        jobs.read_doc_stream_json(spark, str(src)),
+        bloom,
+        clean_p,
+        quar_p,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    quar = {r["doc_id"]: r for r in spark.read.parquet(quar_p).collect()}
+    clean = {r["doc_id"]: r for r in spark.read.parquet(clean_p).collect()}
+    assert set(quar) == {10} and set(clean) == {11, 12}
+    assert quar[10]["n_bloom_hits"] >= 1
+    assert clean[12]["n_bloom_hits"] == 0  # shingle-less doc routes clean
+
+
+def test_bloom_verdicts_match_batch_screen(spark):
+    """The streaming router's verdict core must agree with the batch
+    suite query on the same corpus: per-doc bloom-hit counts identical."""
+    from edu_data_pipeline_spark.sources.testdata import table
+    from edu_data_pipeline_spark.suite import load_all
+    from edu_data_pipeline_spark.suite.curation_suite import bloom_bitmap
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        DECON_EVAL_SOURCE,
+        _distinct_shingles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    d = table(spark, sf, "documents")
+    eval_docs = d.where(F.col("source") == DECON_EVAL_SOURCE)
+    train_docs = d.where(F.col("source") != DECON_EVAL_SOURCE)
+    bloom = bloom_bitmap(_distinct_shingles(eval_docs))
+    stream_side = {
+        r["doc_id"]: (r["n_grams"], r["n_bloom_hits"])
+        for r in jobs.bloom_doc_verdicts(train_docs, bloom).collect()
+    }
+    batch_side = {
+        r["doc_id"]: (r["n_grams"], r["n_bloom_hits"])
+        for r in load_all()["docs_bloom_screen"].fn(spark, sf).collect()
+    }
+    assert stream_side == batch_side
