@@ -72,6 +72,8 @@ HEADLINE = [
     "source_minhash_overlap",
     "docs_cms_term_freq",
     "docs_continuation_pairs",
+    "events_ks_test",
+    "docs_epoch_order",
 ]
 
 

@@ -811,3 +811,53 @@ def docs_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("next_doc"),
         F.col("a.suffix").alias("bridge"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Deterministic per-epoch shuffle order (the dataloader shuffle)
+# ---------------------------------------------------------------------------
+
+EPOCHS = 3
+
+
+@register(
+    "docs_epoch_order",
+    oracle=f"""
+    WITH epochs AS (
+      SELECT doc_id, unnest(range({EPOCHS})) AS epoch FROM documents
+    )
+    SELECT doc_id, CAST(epoch AS INT) AS epoch,
+           CAST(row_number() OVER (
+             PARTITION BY epoch
+             ORDER BY md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+           ) AS BIGINT) AS position
+    FROM epochs
+    """,
+)
+def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-epoch shuffle: each epoch orders the corpus
+    by md5(epoch:doc_id) — a different, deterministic permutation per
+    epoch with no rand() (so any worker can recompute any epoch's order
+    from the ids alone; the content-addressed property every resumable
+    dataloader needs). Spark-side this is one explode + one window per
+    epoch partition; at 100 TB the same key sorts WITHIN hash buckets
+    (bucket = first md5 byte) instead of globally — same statistical
+    shuffle, no total sort."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1))).alias("epoch"),
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy(key.asc())
+    return epochs.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )

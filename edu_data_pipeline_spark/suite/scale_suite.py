@@ -3968,3 +3968,159 @@ def docs_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test — the non-parametric companion
+# to events_value_psi (same time-half split): PSI needs a bucket width,
+# KS compares the raw empirical CDFs and reports the sup-distance with
+# the classical alpha=0.05 decision threshold.
+# ---------------------------------------------------------------------------
+
+KS_ALPHA_COEF = 1.36  # c(alpha) for alpha = 0.05 in the asymptotic bound
+
+
+@register(
+    "events_ks_test",
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '{PSI_CUTOFF}' THEN 0 ELSE 1 END AS half
+      FROM events
+    ), per_value AS (
+      SELECT event_type, value,
+             count(CASE WHEN half = 0 THEN 1 END) AS n0,
+             count(CASE WHEN half = 1 THEN 1 END) AS n1
+      FROM halves GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type, value,
+             sum(n0) OVER w AS c0, sum(n1) OVER w AS c1,
+             sum(n0) OVER t AS tot0, sum(n1) OVER t AS tot1
+      FROM per_value
+      WINDOW w AS (PARTITION BY event_type ORDER BY value),
+             t AS (PARTITION BY event_type)
+    ), d AS (
+      SELECT event_type,
+             CAST(max(tot0) AS BIGINT) AS n_a, CAST(max(tot1) AS BIGINT) AS n_b,
+             {sql_dround('max(abs(c0 * 1.0 / tot0 - c1 * 1.0 / tot1))', 6)}
+               AS d_stat
+      FROM cum GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, d_stat,
+           {sql_dround(f'{KS_ALPHA_COEF} * sqrt((n_a + n_b) * 1.0 / (n_a * n_b))', 6)}
+             AS d_crit,
+           d_stat > {sql_dround(f'{KS_ALPHA_COEF} * sqrt((n_a + n_b) * 1.0 / (n_a * n_b))', 6)}
+             AS drifted
+    FROM d
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test of the value distribution between the log's
+    two time halves, per event type: D = sup |F_a(v) - F_b(v)| computed
+    on the merged distinct-value support with one cumulative window, and
+    the asymptotic alpha=0.05 critical value. No binning parameter (the
+    PSI monitor's one knob) and no per-row Python — the empirical CDFs
+    are a groupBy plus one window over distinct values, so the shuffle
+    is bounded by distinct-value cardinality per type. sqrt() is IEEE
+    correctly-rounded on both engines, so the verdict column is
+    hash-stable."""
+    e = table(spark, sf_dir, "events")
+    cutoff = F.lit(PSI_CUTOFF).cast("timestamp")
+    halves = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < cutoff, 0).otherwise(1).alias("half"),
+    )
+    per_value = halves.groupBy("event_type", "value").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n1"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    t = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("n0").over(w).alias("c0"),
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n0").over(t).alias("tot0"),
+        F.sum("n1").over(t).alias("tot1"),
+    )
+    d = cum.groupBy("event_type").agg(
+        F.max("tot0").cast("long").alias("n_a"),
+        F.max("tot1").cast("long").alias("n_b"),
+        dround(
+            F.max(
+                F.abs(
+                    F.col("c0") * 1.0 / F.col("tot0")
+                    - F.col("c1") * 1.0 / F.col("tot1")
+                )
+            ),
+            6,
+        ).alias("d_stat"),
+    )
+    crit = dround(
+        KS_ALPHA_COEF
+        * F.sqrt((F.col("n_a") + F.col("n_b")) * 1.0 / (F.col("n_a") * F.col("n_b"))),
+        6,
+    )
+    return d.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "d_stat",
+        crit.alias("d_crit"),
+        (F.col("d_stat") > crit).alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic: the report an engineer reads BEFORE choosing
+# a salting factor — per-key weight of the heaviest keys vs the mean.
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 10
+
+
+@register(
+    "events_key_skew",
+    oracle=f"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT CAST(sum(n_events) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT user_id, n_events,
+           {sql_dround('n_events * 1.0 * n_keys / n_total', 4)} AS skew_ratio,
+           {sql_dround('n_events * 1.0 / n_total', 6)} AS share
+    FROM counts CROSS JOIN stats
+    ORDER BY n_events DESC, user_id LIMIT {SKEW_TOP_N}
+    """,
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest join keys on the event log: the top-{N} user_ids by row
+    count with their weight relative to the mean key (skew_ratio) and to
+    the whole table (share). skew_ratio >> 1 on a production log is the
+    signal to salt that key's shuffle or enable AQE skew-join handling
+    — this report is the measurement step. One hash agg + a broadcast
+    scalar join + top-k; cost is the same groupBy any per-key metric
+    pays."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    stats = counts.agg(
+        F.sum("n_events").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_events",
+            dround(
+                F.col("n_events") * 1.0 * F.col("n_keys") / F.col("n_total"), 4
+            ).alias("skew_ratio"),
+            dround(F.col("n_events") * 1.0 / F.col("n_total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(SKEW_TOP_N)
+    )

@@ -320,3 +320,69 @@ def test_continuation_crafted_pair(spark, tmp_path):
     assert len(rows) == 1
     assert (rows[0]["prev_doc"], rows[0]["next_doc"]) == (0, 1)
     assert rows[0]["bridge"] == "p q r"
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle order
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_orders_are_distinct_permutations(spark):
+    rows = REG["docs_epoch_order"].fn(spark, SF).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1, 2}
+    for m in by_epoch.values():  # each epoch is a full 1..N permutation
+        assert sorted(m.values()) == list(range(1, len(m) + 1))
+    assert by_epoch[0] != by_epoch[1]  # different shuffle per epoch
+    assert by_epoch[1] != by_epoch[2]
+
+
+# ---------------------------------------------------------------------------
+# KS drift test + key-skew report (crafted event logs)
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ks_detects_shift(spark, tmp_path):
+    from datetime import datetime
+
+    before = datetime(2024, 1, 10)
+    after = datetime(2024, 1, 20)
+    rows = []
+    eid = 0
+    for i in range(50):  # 'shifted': halves are disjoint -> D = 1.0
+        rows.append((eid, before, 1, "shifted", float(i), "{}")); eid += 1
+        rows.append((eid, after, 1, "shifted", float(100 + i), "{}")); eid += 1
+    for i in range(50):  # 'same': identical values in both halves
+        rows.append((eid, before, 1, "same", float(i), "{}")); eid += 1
+        rows.append((eid, after, 1, "same", float(i), "{}")); eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in REG["events_ks_test"].fn(spark, sf).collect()}
+    assert out["shifted"]["d_stat"] == 1.0 and out["shifted"]["drifted"] is True
+    assert out["same"]["d_stat"] == 0.0 and out["same"]["drifted"] is False
+    assert out["same"]["n_a"] == out["same"]["n_b"] == 50
+
+
+def test_key_skew_crafted(spark, tmp_path):
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 10)
+    rows = [(i, ts, 1, "click", 1.0, "{}") for i in range(100)]  # hot key
+    rows += [(100 + u, ts, 2 + u, "click", 1.0, "{}") for u in range(10)]
+    sf = _write_events(spark, tmp_path, rows)
+    out = REG["events_key_skew"].fn(spark, sf).collect()
+    assert out[0]["user_id"] == 1 and out[0]["n_events"] == 100
+    # 11 keys, 110 rows: mean key weight 10 -> hot key ratio 10x
+    assert out[0]["skew_ratio"] == 10.0
+    assert abs(out[0]["share"] - round(100 / 110, 6)) < 1e-9
+    assert len(out) == 10
