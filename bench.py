@@ -74,6 +74,7 @@ HEADLINE = [
     "docs_continuation_pairs",
     "events_ks_test",
     "docs_epoch_order",
+    "events_lateness_profile",
 ]
 
 

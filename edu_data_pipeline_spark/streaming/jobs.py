@@ -735,3 +735,66 @@ def start_bloom_quarantine_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy-hitters monitor: a Count-Min sketch folded across
+# micro-batches. CMS counters are mergeable by summing on (row_j,
+# bucket), so each micro-batch writes only its DELTA sketch into a
+# batch_id-keyed partition (idempotent under checkpoint replay) and the
+# current corpus sketch is the sum-on-read of all deltas — constant
+# state per batch, no per-term state store. Constants and builders are
+# imported from suite.curation_suite.docs_cms_term_freq's core.
+# ---------------------------------------------------------------------------
+
+
+def doc_token_rows(docs: DataFrame) -> DataFrame:
+    """(t) token rows from a (doc_id, text) frame — the CMS insertion
+    stream."""
+    return docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("t")
+    )
+
+
+def foreach_batch_cms_delta(sketch_path: str):
+    """Micro-batch sink: build this batch's CMS delta and write it to
+    ``sketch_path/stream_batch_id=N`` (dynamic partition overwrite, so a
+    replayed batch REPLACES its own delta instead of double-counting)."""
+    from ..suite.curation_suite import cms_sketch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = cms_sketch(doc_token_rows(batch_df)).withColumn(
+            "stream_batch_id", F.lit(batch_id)
+        )
+        (
+            delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("stream_batch_id")
+            .parquet(sketch_path)
+        )
+
+    return _write
+
+
+def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The current corpus sketch: sum the per-batch deltas on read.
+    (A compaction job can fold old deltas into one partition at any
+    time — same merge, fewer files.)"""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("row_j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def start_cms_monitor_stream(doc_stream: DataFrame, sketch_path: str, checkpoint: str):
+    """Wire the CMS delta sink to a document stream (AvailableNow for
+    replay; drop the trigger for continuous ingest)."""
+    return (
+        doc_stream.writeStream.foreachBatch(foreach_batch_cms_delta(sketch_path))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

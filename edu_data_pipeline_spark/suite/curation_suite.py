@@ -597,6 +597,64 @@ _SQL_CMS_TOP_BUCKETS = "\n      UNION ALL\n".join(
 )
 
 
+def cms_sketch(toks: DataFrame) -> DataFrame:
+    """(row_j, bucket, cnt) Count-Min counters over a token frame's
+    ``t`` column — the mergeable build shared by the batch query and
+    the streaming heavy-hitters monitor (two sketches merge by summing
+    counters on (row_j, bucket); same constants, so batch and stream
+    can never desynchronize)."""
+    m = F.md5(F.col("t"))
+    halves = toks.select(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    buckets = halves.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        ((F.col("h1") + j * F.col("h2")) % CMS_W).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row_j", "rb.bucket")
+    return buckets.groupBy("row_j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_lookup(sketch: DataFrame, terms: DataFrame) -> DataFrame:
+    """Point-query the sketch: for each row of ``terms`` (column ``t``),
+    the CMS estimate = min over rows of the term's bucket counters.
+    Terms absent from every insertion still get their collision mass —
+    the CMS overestimate guarantee, never an undercount."""
+    m = F.md5(F.col("t"))
+    keyed = terms.select(
+        "t",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    ).select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_j"),
+                        ((F.col("h1") + j * F.col("h2")) % CMS_W).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("t", "rb.row_j", "rb.bucket")
+    return (
+        keyed.join(F.broadcast(sketch), ["row_j", "bucket"], "left")
+        .groupBy("t")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )
+
+
 @register(
     "docs_cms_term_freq",
     oracle=f"""
@@ -648,26 +706,7 @@ def docs_cms_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast sketch."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(_tokens(F.col("text"))).alias("t"))
-    m = F.md5(F.col("t"))
-    halves = toks.select(
-        "t",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
-    buckets = halves.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("row_j"),
-                        ((F.col("h1") + j * F.col("h2")) % CMS_W).alias("bucket"),
-                    )
-                    for j in range(CMS_D)
-                ]
-            )
-        ).alias("rb")
-    ).select("rb.row_j", "rb.bucket")
-    sketch = buckets.groupBy("row_j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = cms_sketch(toks)
     tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("exact_count"))
     top = tf.orderBy(F.desc("exact_count"), F.asc("t")).limit(CMS_TOP_N)
     top_buckets = top.select(

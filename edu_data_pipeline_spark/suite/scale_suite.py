@@ -4124,3 +4124,71 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(SKEW_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Event lateness profile — the measurement behind a watermark choice:
+# how late do events actually arrive relative to the maximum event time
+# already seen in their arrival order? The histogram's tail mass IS the
+# fraction of data a given watermark would drop.
+# ---------------------------------------------------------------------------
+
+LATENESS_BUCKET_S = 60  # one-minute histogram buckets
+
+
+@register(
+    "events_lateness_profile",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id) AS high_water
+      FROM events
+    ), lateness AS (
+      SELECT event_type,
+             CAST(floor(date_diff('second', ts, high_water)
+                        / {LATENESS_BUCKET_S}) AS BIGINT) AS bucket
+      FROM ordered
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {sql_dround("count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY event_type)", 6)}
+             AS share
+    FROM lateness GROUP BY event_type, bucket
+    """,
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateness histogram per event type: each event's distance behind
+    the running event-time high-water mark in ARRIVAL order (event_id —
+    the log's ingestion sequence), bucketed per minute. Bucket 0 is
+    in-order data; the share column at bucket b is exactly the data a
+    b-minute watermark would have dropped — the empirical basis for the
+    streaming jobs' watermark settings, produced from the same log they
+    replay. One window in arrival order + one hash agg; the window
+    partitions by type so state is a single max per partition."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ordered = e.select(
+        "event_type", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    lateness = ordered.select(
+        "event_type",
+        F.floor(
+            (F.col("high_water").cast("long") - F.col("ts").cast("long"))
+            / LATENESS_BUCKET_S
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    share_w = Window.partitionBy("event_type")
+    return (
+        lateness.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            "bucket",
+            "n_events",
+            dround(
+                F.col("n_events") * 1.0 / F.sum("n_events").over(share_w), 6
+            ).alias("share"),
+        )
+    )

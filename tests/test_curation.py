@@ -386,3 +386,26 @@ def test_key_skew_crafted(spark, tmp_path):
     assert out[0]["skew_ratio"] == 10.0
     assert abs(out[0]["share"] - round(100 / 110, 6)) < 1e-9
     assert len(out) == 10
+
+
+def test_lateness_profile_crafted(spark, tmp_path):
+    """An event arriving after a later-timestamped event lands in the
+    bucket of its distance behind the high-water mark; in-order data is
+    all bucket 0."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (0, t0, 1, "late", 1.0, "{}"),
+        (1, t0 + timedelta(minutes=10), 1, "late", 1.0, "{}"),
+        (2, t0 + timedelta(minutes=3), 1, "late", 1.0, "{}"),  # 7 min late
+        (3, t0, 1, "inorder", 1.0, "{}"),
+        (4, t0 + timedelta(minutes=1), 1, "inorder", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = {(r["event_type"], r["bucket"]): r
+           for r in REG["events_lateness_profile"].fn(spark, sf).collect()}
+    assert out[("late", 0)]["n_events"] == 2
+    assert out[("late", 7)]["n_events"] == 1  # 7-minute lateness bucket
+    assert out[("inorder", 0)]["n_events"] == 2
+    assert ("inorder", 1) not in out

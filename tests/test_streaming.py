@@ -713,3 +713,53 @@ def test_bloom_verdicts_match_batch_screen(spark):
         for r in load_all()["docs_bloom_screen"].fn(spark, sf).collect()
     }
     assert stream_side == batch_side
+
+
+def test_stream_cms_merges_to_batch_sketch(spark, tmp_path):
+    """CMS mergeability across micro-batches: streaming the corpus in
+    two files and summing the per-batch deltas must yield EXACTLY the
+    sketch a single batch build produces over the union — and point
+    estimates through the merged sketch still never undercount."""
+    import json as _json
+
+    from edu_data_pipeline_spark.suite.curation_suite import (
+        cms_lookup,
+        cms_sketch,
+    )
+
+    docs_a = [{"doc_id": 1, "text": "x x x y z common words"}]
+    docs_b = [{"doc_id": 2, "text": "x y y q r common words"}]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in docs_a))
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in docs_b))
+
+    sketch_p = str(tmp_path / "sketch")
+    q = jobs.start_cms_monitor_stream(
+        jobs.read_doc_stream_json(spark, str(src)),
+        sketch_p,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    merged = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in jobs.read_cms(spark, sketch_p).collect()
+    }
+    all_docs = spark.createDataFrame(
+        [(1, docs_a[0]["text"]), (2, docs_b[0]["text"])],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["row_j"], r["bucket"]): r["cnt"]
+        for r in cms_sketch(jobs.doc_token_rows(all_docs)).collect()
+    }
+    assert merged == batch
+
+    terms = spark.createDataFrame([("x",), ("y",), ("absent",)], "t string")
+    est = {
+        r["t"]: r["cms_estimate"]
+        for r in cms_lookup(jobs.read_cms(spark, sketch_p), terms).collect()
+    }
+    assert est["x"] >= 4 and est["y"] >= 3  # true counts: 4, 3
+    assert est["absent"] >= 0
