@@ -4192,3 +4192,78 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear (probabilistic) counting — an approximate-distinct estimator
+# that, unlike the HLL/quantile sketch query (approx_user_stats,
+# rows-only by design), is fully deterministic and oracle-checkable:
+# hash users into M buckets, count occupied buckets, estimate
+# n ~= -M * ln(empty/M) (Whang et al.'s classic load-factor inversion).
+# ---------------------------------------------------------------------------
+
+LC_M = 65536  # bucket count: keeps load factor ~0.15 for the testdata's
+# ~10k distinct users (linear counting needs M comfortably above n or the
+# bitmap saturates and ln(0) blows up); production sizing is M ~ n_max,
+# still only a few MB of bitmap where exact count_distinct shuffles every
+# key.
+
+
+@register(
+    "events_lc_distinct",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS UINTEGER) AS BIGINT) % {LC_M} AS bucket,
+             user_id
+      FROM events
+    ), per_type AS (
+      SELECT event_type,
+             CAST(count(DISTINCT bucket) AS BIGINT) AS n_buckets_used,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, n_buckets_used, exact_distinct,
+           {sql_dround(f'-{LC_M}.0 * ln(({LC_M} - n_buckets_used) * 1.0 / {LC_M})', 4)}
+             AS lc_estimate,
+           {sql_dround(
+               f'(-{LC_M}.0 * ln(({LC_M} - n_buckets_used) * 1.0 / {LC_M})'
+               f' - exact_distinct) / exact_distinct', 4)}
+             AS rel_err
+    FROM per_type
+    """,
+)
+def events_lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type by linear counting,
+    reported against the exact count with the relative error. The
+    estimator state is an M-bit occupancy set — a groupBy over (type,
+    bucket) with map-side combine, mergeable across shards like every
+    sketch here — where exact distinct must shuffle the full key set.
+    The exact column exists to ground the accuracy claim (|rel_err|
+    bound locked by pytest); a production pipeline keeps only the
+    bitmap. Same md5 bucket family as the hash sampler, so the oracle
+    reconstructs identical buckets."""
+    e = table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % LC_M
+    )
+    b = e.select("event_type", bucket.alias("bucket"), "user_id")
+    per_type = b.groupBy("event_type").agg(
+        F.count_distinct("bucket").cast("long").alias("n_buckets_used"),
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+    )
+    est = -float(LC_M) * F.log(
+        (LC_M - F.col("n_buckets_used")) * 1.0 / LC_M
+    )
+    return per_type.select(
+        "event_type",
+        "n_buckets_used",
+        "exact_distinct",
+        dround(est, 4).alias("lc_estimate"),
+        dround((est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+            "rel_err"
+        ),
+    )

@@ -409,3 +409,13 @@ def test_lateness_profile_crafted(spark, tmp_path):
     assert out[("late", 7)]["n_events"] == 1  # 7-minute lateness bucket
     assert out[("inorder", 0)]["n_events"] == 2
     assert ("inorder", 1) not in out
+
+
+def test_lc_distinct_accuracy(spark):
+    rows = REG["events_lc_distinct"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["n_buckets_used"] <= r["exact_distinct"]  # collisions only shrink
+        assert abs(r["rel_err"]) < 0.05, r  # ~0.15 load factor -> ~1% error
+        assert abs((r["lc_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+                   - r["rel_err"]) < 1e-3
