@@ -75,6 +75,7 @@ HEADLINE = [
     "events_ks_test",
     "docs_epoch_order",
     "events_lateness_profile",
+    "minhash_band_sweep",
 ]
 
 

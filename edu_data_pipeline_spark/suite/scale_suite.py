@@ -4267,3 +4267,192 @@ def events_lc_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-configuration sweep — the tuning panel behind the b x r
+# choice: candidate volume and verify precision for three bandings of
+# the SAME 16 signatures. The collision threshold s* = (1/b)^(1/r) is
+# precomputed in Python and emitted as a literal on both engines (pow()
+# is not cross-engine-stable; a compile-time constant is).
+# ---------------------------------------------------------------------------
+
+BAND_SWEEP_CFGS = [(2, 8), (4, 4), (8, 2)]  # (n_bands, rows_per_band)
+
+
+def _band_rows_cfg(sigs: DataFrame, n_bands: int, n_rows: int) -> DataFrame:
+    stack_args = ", ".join(
+        "{}, concat_ws('|', {})".format(
+            b, ", ".join(f"sig_{n_rows * b + r}" for r in range(n_rows))
+        )
+        for b in range(n_bands)
+    )
+    return sigs.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_idx, band_key)"
+    )
+
+
+def _sql_band_sweep_cfg(n_bands: int, n_rows: int) -> str:
+    bands = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {} AS band_idx, {} AS band_key FROM sigs".format(
+            b,
+            " || '|' || ".join(f"sig_{n_rows * b + r}" for r in range(n_rows)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+      SELECT DISTINCT {n_bands} AS n_bands, {n_rows} AS rows_per_band,
+             a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (
+{bands}
+      ) a JOIN (
+{bands}
+      ) b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    """
+
+
+_SQL_SWEEP_CANDS = "\n      UNION ALL\n".join(
+    _sql_band_sweep_cfg(b, r) for b, r in BAND_SWEEP_CFGS
+)
+
+# CAST through VARCHAR so DuckDB lands on the exact same double the
+# Python-computed literal is (a bare 16-digit literal would parse as
+# DECIMAL and change the column type)
+_SQL_SWEEP_SSTAR = " ".join(
+    f"WHEN n_bands = {b} THEN CAST('{(1.0 / b) ** (1.0 / r)!r}' AS DOUBLE)"
+    for b, r in BAND_SWEEP_CFGS
+)
+
+
+@register(
+    "minhash_band_sweep",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), halves AS ({_SQL_HALVES}),
+    sigs AS (
+      SELECT doc_id,
+{_SQL_MINHASH_AGGS}
+      FROM halves GROUP BY doc_id
+    ), cands AS (
+{_SQL_SWEEP_CANDS}
+    ), distinct_pairs AS (
+      SELECT DISTINCT doc_a, doc_b FROM cands
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_sh FROM sh
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM distinct_pairs c
+      JOIN exploded a ON a.doc_id = c.doc_a
+      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY c.doc_a, c.doc_b
+    ), jac AS (
+      SELECT m.doc_a, m.doc_b,
+             m.n_common * 1.0 / (sa.n_sh + sb.n_sh - m.n_common) AS j
+      FROM common m
+      JOIN sizes sa ON sa.doc_id = m.doc_a
+      JOIN sizes sb ON sb.doc_id = m.doc_b
+    )
+    SELECT c.n_bands, c.rows_per_band,
+           CASE {_SQL_SWEEP_SSTAR} END AS s_star,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(count(CASE WHEN coalesce(j.j, 0) >= {MINHASH_VERIFY_J}
+                      THEN 1 END) AS BIGINT) AS n_verified,
+           {sql_dround(
+               f'count(CASE WHEN coalesce(j.j, 0) >= {MINHASH_VERIFY_J} THEN 1 END)'
+               ' * 1.0 / count(*)', 4)} AS precision
+    FROM cands c
+    LEFT JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    GROUP BY c.n_bands, c.rows_per_band
+    """,
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume vs verify precision for three bandings (2x8 /
+    4x4 / 8x2) of the same signature matrix — the measurement behind
+    choosing b and r: more, narrower bands lower the collision
+    threshold s* and flood the verifier; fewer, wider bands miss
+    moderate-similarity pairs. Signatures are computed ONCE and
+    persisted; each config is a stack + equi-join (never all-pairs);
+    the exact-Jaccard verify runs once over the UNION of candidates and
+    joins back, so adding configs adds band joins, not verify passes."""
+    d = table(spark, sf_dir, "documents")
+    sigs = _sigs_from_shingle_rows(_shingle_rows(d)).persist()
+    cands = None
+    for b, r in BAND_SWEEP_CFGS:
+        rows = _band_rows_cfg(sigs, b, r)
+        a_, b_ = rows.alias("a"), rows.alias("b")
+        c = (
+            a_.join(
+                b_,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    distinct_pairs = cands.select("doc_a", "doc_b").distinct()
+    ex = _distinct_shingles(d)
+    ea, eb = ex.alias("ea"), ex.alias("eb")
+    common = (
+        distinct_pairs.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("eb.doc_id"))
+            & (F.col("eb.s") == F.col("ea.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    s_star = None
+    for b, r in BAND_SWEEP_CFGS:
+        lit = F.lit((1.0 / b) ** (1.0 / r))
+        s_star = (
+            F.when(F.col("n_bands") == b, lit)
+            if s_star is None
+            else s_star.when(F.col("n_bands") == b, lit)
+        )
+    verified = F.count(
+        F.when(F.coalesce(F.col("j"), F.lit(0.0)) >= MINHASH_VERIFY_J, 1)
+    )
+    return (
+        cands.join(jac, ["doc_a", "doc_b"], "left")
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            verified.alias("n_verified"),
+            dround(verified * 1.0 / F.count(F.lit(1)), 4).alias("precision"),
+        )
+        .select(
+            "n_bands",
+            "rows_per_band",
+            s_star.alias("s_star"),
+            "n_candidates",
+            "n_verified",
+            "precision",
+        )
+    )

@@ -419,3 +419,18 @@ def test_lc_distinct_accuracy(spark):
         assert abs(r["rel_err"]) < 0.05, r  # ~0.15 load factor -> ~1% error
         assert abs((r["lc_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
                    - r["rel_err"]) < 1e-3
+
+
+def test_band_sweep_candidate_monotonicity(spark):
+    """Wider bands are stricter: a (2x8) collision implies both half
+    bands collide under (4x4), which implies (8x2) collisions — so
+    candidate volume must be monotone in the number of bands, and each
+    config's verified count can never exceed its candidates."""
+    rows = {r["n_bands"]: r for r in
+            REG["minhash_band_sweep"].fn(spark, SF).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert (rows[2]["n_candidates"] <= rows[4]["n_candidates"]
+            <= rows[8]["n_candidates"])
+    for r in rows.values():
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert abs(r["s_star"] - (1.0 / r["n_bands"]) ** (1.0 / r["rows_per_band"])) < 1e-12
