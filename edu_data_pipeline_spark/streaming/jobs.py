@@ -798,3 +798,140 @@ def start_cms_monitor_stream(doc_stream: DataFrame, sketch_path: str, checkpoint
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic (embedding) near-dup screen: incoming vectors are
+# bucketed with the SAME hyperplane family as the batch ANN stack
+# (suite.scale_suite.lsh_bucket_rows) and screened against a standing
+# corpus index — bucket join for candidates, exact cosine for the
+# verdict — then routed novel/duplicate. The embedding twin of the
+# MinHash ingest screen (screen_docs_stream).
+# ---------------------------------------------------------------------------
+
+
+def read_vec_stream_json(spark: SparkSession, path: str) -> DataFrame:
+    """File-replay embedding stream: {"vec_id": ..., "embedding": [...]}"""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.readStream.schema(schema).json(path)
+
+
+def embedding_index(corpus: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
+    """The standing ANN index: (bucket rows, vectors) for a corpus
+    embedding frame — build once per index refresh, both sides small
+    enough to broadcast per bucket at screen time."""
+    from ..suite.scale_suite import lsh_bucket_rows
+
+    e = corpus.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    buckets = lsh_bucket_rows(
+        e.select(F.col("corpus_vec_id").alias("vec_id"), "emb"), dim
+    ).select(F.col("vec_id").alias("corpus_vec_id"), "table_idx", "bucket")
+    return buckets, e
+
+
+def semantic_screen_batch(
+    batch: DataFrame,
+    index_buckets: DataFrame,
+    index_vecs: DataFrame,
+    dim: int,
+    tau: float,
+) -> DataFrame:
+    """Per-incoming-vector verdict over a BATCH: bucket-join candidates
+    against the index, verify by exact cosine, keep the best corpus
+    match at cosine >= tau. Columns: vec_id, matched_corpus_vec (null =
+    novel), best_cosine."""
+    from ..suite import dround
+    from ..suite.scale_suite import _cosine, lsh_bucket_rows
+
+    e = batch.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    in_buckets = lsh_bucket_rows(e.select("vec_id", "emb"), dim)
+    cand = (
+        in_buckets.join(index_buckets, ["table_idx", "bucket"])
+        .select("vec_id", "corpus_vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(e, "vec_id")
+        .join(index_vecs.select("corpus_vec_id", F.col("emb").alias("cemb")),
+              "corpus_vec_id")
+        .withColumn("cos", _cosine(F.col("emb"), F.col("cemb")))
+        .where(dround(F.col("cos"), 6) >= tau)
+    )
+    # deterministic best match: highest cosine, lowest corpus id on ties
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("corpus_vec_id"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("corpus_vec_id").alias("matched_corpus_vec"),
+            dround(F.col("cos"), 6).alias("best_cosine"),
+        )
+    )
+    return batch.select("vec_id").join(best, "vec_id", "left")
+
+
+def foreach_batch_semantic_screen(
+    index_buckets: DataFrame,
+    index_vecs: DataFrame,
+    dim: int,
+    novel_path: str,
+    dup_path: str,
+    tau: float = 0.32,
+):
+    """Micro-batch router: verified semantic duplicates (with their
+    matched corpus vector and cosine) to the duplicate sink, the rest to
+    the novel sink."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            verdicts = semantic_screen_batch(
+                batch_df, index_buckets, index_vecs, dim, tau
+            ).withColumn("stream_batch_id", F.lit(batch_id))
+            verdicts.where(F.col("matched_corpus_vec").isNotNull()).write.mode(
+                "append"
+            ).parquet(dup_path)
+            verdicts.where(F.col("matched_corpus_vec").isNull()).select(
+                "vec_id", "stream_batch_id"
+            ).write.mode("append").parquet(novel_path)
+        finally:
+            batch_df.unpersist()
+
+    return _write
+
+
+def start_semantic_screen_stream(
+    vec_stream: DataFrame,
+    index_buckets: DataFrame,
+    index_vecs: DataFrame,
+    dim: int,
+    novel_path: str,
+    dup_path: str,
+    checkpoint: str,
+    tau: float = 0.32,
+):
+    return (
+        vec_stream.writeStream.foreachBatch(
+            foreach_batch_semantic_screen(
+                index_buckets, index_vecs, dim, novel_path, dup_path, tau
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

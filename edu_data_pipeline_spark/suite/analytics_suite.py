@@ -2263,3 +2263,72 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration panel: cumulative revenue share by brand — "how
+# few brands carry 80% of revenue". Ranking and the 80% cut both happen
+# on EXACT decimals (cross-engine-stable compares); doubles appear only
+# in the rounded output columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_revenue_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_brand, sum({_SQL_DISC_PRICE}) AS rev_dec
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), tot AS (
+      SELECT sum(rev_dec) AS total_dec FROM rev
+    ), ranked AS (
+      SELECT p_brand, rev_dec,
+             CAST(row_number() OVER (ORDER BY rev_dec DESC, p_brand) AS BIGINT)
+               AS rev_rank,
+             sum(rev_dec) OVER (ORDER BY rev_dec DESC, p_brand) AS cum_dec
+      FROM rev
+    )
+    SELECT p_brand, rev_rank,
+           {sql_dround('CAST(rev_dec AS DOUBLE)', 2)} AS revenue,
+           {sql_dround('CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE)', 6)}
+             AS cum_share,
+           (cum_dec - rev_dec) * 5 < total_dec * 4 AS in_top_80
+    FROM ranked CROSS JOIN tot
+    """,
+)
+def brand_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration by brand: rank, cumulative share, and the
+    80%-club flag (brands whose PRECEDING cumulative share is under
+    0.8 — the set you'd keep if you kept 80% of revenue). The running
+    sum, ranking, and the 0.8 comparison all run on exact decimals
+    ((cum - rev) * 5 < total * 4 avoids any double boundary); the window
+    is a total order over brands, which is fine at any corpus size
+    because brand cardinality is domain-bounded — the same bounded-window
+    argument dim_date and the k-anonymity screen make."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(_disc_price_dec()).alias("rev_dec"))
+    )
+    total = rev.agg(F.sum("rev_dec").alias("total_dec"))
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("p_brand"))
+    ranked = rev.select(
+        "p_brand",
+        "rev_dec",
+        F.row_number().over(w).cast("long").alias("rev_rank"),
+        F.sum("rev_dec").over(w).alias("cum_dec"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "p_brand",
+        "rev_rank",
+        dround(F.col("rev_dec").cast("double"), 2).alias("revenue"),
+        dround(
+            F.col("cum_dec").cast("double") / F.col("total_dec").cast("double"), 6
+        ).alias("cum_share"),
+        ((F.col("cum_dec") - F.col("rev_dec")) * 5 < F.col("total_dec") * 4).alias(
+            "in_top_80"
+        ),
+    )

@@ -1381,9 +1381,19 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("int").alias("bucket"),
             ).limit(0)
         )
+    return lsh_bucket_rows(e, dim)
+
+
+def lsh_bucket_rows(e: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, [label,] table_idx, bucket) hyperplane-LSH rows for any
+    frame with an ``emb`` array<double> column and a known dimension —
+    the map-side core shared by the suite query and the streaming ANN
+    screen (which cannot run the dim probe on an unbounded stream and
+    passes the index's dimension instead)."""
+    carry = [c for c in ("vec_id", "label") if c in e.columns]
     tables = [
         e.select(
-            "vec_id", "label",
+            *carry,
             F.lit(t).alias("table_idx"),
             _hyperplane_bits(t, dim).alias("bucket"),
         )

@@ -763,3 +763,59 @@ def test_stream_cms_merges_to_batch_sketch(spark, tmp_path):
     }
     assert est["x"] >= 4 and est["y"] >= 3  # true counts: 4, 3
     assert est["absent"] >= 0
+
+
+def test_stream_semantic_screen_routes(spark, tmp_path):
+    """Streaming embedding screen: an incoming vector identical to a
+    corpus vector is routed duplicate with cosine 1.0 against that
+    vector; an opposite-direction vector shares no sign bucket and
+    routes novel."""
+    import json as _json
+
+    base = [1.0, 0.5, -0.25, 2.0] * 16
+    other = [0.1 * ((i % 7) - 3) for i in range(64)]
+    corpus = spark.createDataFrame(
+        [(100, base), (101, other)], "vec_id long, embedding array<double>"
+    )
+    buckets, vecs = jobs.embedding_index(corpus, dim=64)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    rows = [
+        {"vec_id": 1, "embedding": base},                 # dup of 100
+        {"vec_id": 2, "embedding": [-v for v in base]},   # novel (cos -1)
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    novel_p, dup_p = str(tmp_path / "novel"), str(tmp_path / "dup")
+    q = jobs.start_semantic_screen_stream(
+        jobs.read_vec_stream_json(spark, str(src)),
+        buckets, vecs, 64, novel_p, dup_p, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    dup = {r["vec_id"]: r for r in spark.read.parquet(dup_p).collect()}
+    novel = {r["vec_id"] for r in spark.read.parquet(novel_p).collect()}
+    assert set(dup) == {1} and novel == {2}
+    assert dup[1]["matched_corpus_vec"] == 100
+    assert dup[1]["best_cosine"] == 1.0
+
+
+def test_semantic_screen_self_retrieval(spark):
+    """ANN-index sanity: screening the corpus against its own index must
+    find every vector (identical vectors share all sign buckets), with
+    best cosine 1.0 and the match id <= own id (exact-duplicate ties
+    break to the lowest corpus id)."""
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select(
+        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+    )
+    buckets, vecs = jobs.embedding_index(emb, dim=64)
+    out = jobs.semantic_screen_batch(emb, buckets, vecs, 64, tau=0.32).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert r["matched_corpus_vec"] is not None
+        assert r["best_cosine"] == 1.0
+        assert r["matched_corpus_vec"] <= r["vec_id"]
