@@ -849,11 +849,15 @@ def semantic_screen_batch(
     match at cosine >= tau. Columns: vec_id, matched_corpus_vec (null =
     novel), best_cosine."""
     from ..suite import dround
-    from ..suite.scale_suite import _cosine, lsh_bucket_rows
+    from ..suite.scale_suite import _dot, lsh_bucket_rows
 
+    # norms once per vector on both sides (identical doubles, fewer folds)
     e = batch.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    idx = index_vecs.select(
+        "corpus_vec_id", F.col("emb").alias("cemb")
+    ).withColumn("cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb"))))
     in_buckets = lsh_bucket_rows(e.select("vec_id", "emb"), dim)
     cand = (
         in_buckets.join(index_buckets, ["table_idx", "bucket"])
@@ -862,9 +866,11 @@ def semantic_screen_batch(
     )
     scored = (
         cand.join(e, "vec_id")
-        .join(index_vecs.select("corpus_vec_id", F.col("emb").alias("cemb")),
-              "corpus_vec_id")
-        .withColumn("cos", _cosine(F.col("emb"), F.col("cemb")))
+        .join(idx, "corpus_vec_id")
+        .withColumn(
+            "cos",
+            _dot(F.col("emb"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm")),
+        )
         .where(dround(F.col("cos"), 6) >= tau)
     )
     # deterministic best match: highest cosine, lowest corpus id on ties
