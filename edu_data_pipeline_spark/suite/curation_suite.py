@@ -910,3 +910,29 @@ def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch").cast("int").alias("epoch"),
         F.row_number().over(w).cast("long").alias("position"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. BPE merge learning (iterative; rows-only — loop-carried merges are
+# not expressible as one SQL statement, like the HLL sketch query)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 8
+
+
+@register("docs_bpe_merges", oracle=None)
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 8 learned BPE merges over the corpus (rank, pair,
+    merged symbol, weighted pair count) — see operators/bpe.py for the
+    distributed recipe and the golden hand-computed pytest that stands
+    in for the SQL oracle."""
+    from ..operators.bpe import learn_bpe
+
+    d = table(spark, sf_dir, "documents")
+    merges = learn_bpe(d, BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "merge_rank int, left string, right string, merged string,"
+        " pair_count long",
+    )
