@@ -76,6 +76,7 @@ HEADLINE = [
     "docs_epoch_order",
     "events_lateness_profile",
     "minhash_band_sweep",
+    "returned_revenue_customers",
 ]
 
 

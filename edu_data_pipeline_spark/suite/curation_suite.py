@@ -936,3 +936,75 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. Normalization dedup gain + tokenizer fertility panels
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_normalization_gain",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw_groups,
+           CAST(count(DISTINCT md5(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+             AS BIGINT) AS n_norm_groups
+    FROM documents
+    """,
+)
+def docs_normalization_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many extra exact-dup groups text normalization (lower, trim,
+    whitespace collapse) merges: raw-digest groups vs normalized-digest
+    groups in one scan. The delta is the dedup recall a pipeline gives
+    up by hashing raw bytes — the one-row report behind choosing the
+    docs_exact_dedup normalization."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_raw_groups"),
+        F.count_distinct(F.md5(norm)).alias("n_norm_groups"),
+    )
+
+
+@register(
+    "docs_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(trim(text), ' ')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           {sql_dround('sum(n_chars) * 1.0 / sum(n_tokens)', 4)}
+             AS chars_per_token,
+           {sql_dround('sum(n_tokens) * 1.0 / count(*)', 4)}
+             AS tokens_per_doc
+    FROM per_doc GROUP BY lang
+    """,
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility panel: characters per token and
+    tokens per document — the compression-rate numbers a vocabulary
+    planner compares across languages before sizing a multilingual mix
+    (languages with poor fertility burn budget). Integer sums + one
+    rounded ratio; single hash agg."""
+    d = table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang", F.size(_tokens(F.col("text"))).alias("n_tokens"), "n_chars"
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        dround(F.sum("n_chars") * 1.0 / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+        dround(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "tokens_per_doc"
+        ),
+    )
