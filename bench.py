@@ -77,6 +77,7 @@ HEADLINE = [
     "events_lateness_profile",
     "minhash_band_sweep",
     "returned_revenue_customers",
+    "event_transition_matrix",
 ]
 
 

@@ -4482,3 +4482,63 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix — first-order behavioral model of the
+# event log: P(next type | current type) per user journey.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type
+      FROM ordered WHERE next_type IS NOT NULL
+    )
+    SELECT from_type, to_type,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           {sql_dround("count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type)", 6)}
+             AS p_transition
+    FROM pairs GROUP BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences:
+    counts and row-normalized P(next | current) for every (from, to)
+    type pair. One lead() window per user (ordered by ts with event_id
+    as the unique tie-break) + one hash agg; output is bounded by
+    |event types|² regardless of log size. The behavioral-model
+    companion to user_sessions/user_funnel: funnels check one path,
+    this reports every edge."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    share_w = Window.partitionBy("from_type")
+    return (
+        ordered.select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            dround(
+                F.col("n_transitions")
+                * 1.0
+                / F.sum("n_transitions").over(share_w),
+                6,
+            ).alias("p_transition"),
+        )
+    )

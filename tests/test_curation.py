@@ -434,3 +434,16 @@ def test_band_sweep_candidate_monotonicity(spark):
     for r in rows.values():
         assert 0 <= r["n_verified"] <= r["n_candidates"]
         assert abs(r["s_star"] - (1.0 / r["n_bands"]) ** (1.0 / r["rows_per_band"])) < 1e-12
+
+
+def test_transition_matrix_rows_normalize(spark):
+    rows = REG["event_transition_matrix"].fn(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    row_sum = defaultdict(float)
+    for r in rows:
+        assert r["n_transitions"] > 0
+        row_sum[r["from_type"]] += r["p_transition"]
+    for ft, s in row_sum.items():
+        assert abs(s - 1.0) < 1e-3, (ft, s)  # each row is a distribution
