@@ -201,6 +201,31 @@ def main():
         plain = f"{r_plain}" if r_plain < cap else f">={cap} (capped)"
         print(f"connected components, chain L={n}: pointer_jump={r_jump} "
               f"rounds ({t_jump}s); plain min-label={plain} rounds")
+
+    # ---- sketch-state boundedness (SCALE.md round-4 table) -------------
+    # Bloom bitmap words and CMS counter counts vs input volume: inputs
+    # grow ~10x across sf dirs while sketch state stays capped.
+    from edu_data_pipeline_spark.sources.testdata import table as _table
+    from edu_data_pipeline_spark.suite.curation_suite import (
+        bloom_bitmap, cms_sketch,
+    )
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        DECON_EVAL_SOURCE, _distinct_shingles,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}"
+        d = _table(spark, p, "documents")
+        grams = _distinct_shingles(d.where(F.col("source") == DECON_EVAL_SOURCE))
+        n_grams = grams.count()
+        bm = bloom_bitmap(grams)
+        n_words = bm.count()
+        set_bits = bm.select(F.sum(F.bit_count("word"))).first()[0]
+        toks = d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("t"))
+        n_toks = toks.count()
+        n_counters = cms_sketch(toks).count()
+        print(f"sketches sf{sf}: eval_grams={n_grams} bloom_words={n_words} "
+              f"set_bits={set_bits} tokens={n_toks} cms_counters={n_counters}")
     spark.stop()
 
 
