@@ -78,6 +78,7 @@ HEADLINE = [
     "minhash_band_sweep",
     "returned_revenue_customers",
     "event_transition_matrix",
+    "dedup_graph_triangles",
 ]
 
 

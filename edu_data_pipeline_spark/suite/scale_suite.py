@@ -4405,6 +4405,9 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins back, so adding configs adds band joins, not verify passes."""
     d = table(spark, sf_dir, "documents")
     sigs = _sigs_from_shingle_rows(_shingle_rows(d)).persist()
+    # the distinct shingle frame feeds sizes + both sides of the common
+    # join; persist so the gram pipeline runs once, not three times
+    ex = _distinct_shingles(d).persist()
     cands = None
     for b, r in BAND_SWEEP_CFGS:
         rows = _band_rows_cfg(sigs, b, r)
@@ -4426,7 +4429,6 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cands = c if cands is None else cands.unionByName(c)
     distinct_pairs = cands.select("doc_a", "doc_b").distinct()
-    ex = _distinct_shingles(d)
     ea, eb = ex.alias("ea"), ex.alias("eb")
     common = (
         distinct_pairs.join(ea, F.col("doc_a") == F.col("ea.doc_id"))
@@ -4541,4 +4543,162 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("p_transition"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph shape: triangle count + global clustering coefficient.
+# Dedup graphs from templated corpora are clique-y (high clustering);
+# hash-collision noise is wedge-y (low). One number distinguishes them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""{_SQL_COMPONENT_CTES}
+    , tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+      ) GROUP BY v
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT a.n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           a.n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           {sql_dround('3.0 * t.n_triangles / greatest(a.n_wedges, 1)', 6)}
+             AS global_clustering
+    FROM agg a CROSS JOIN tri t
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the verified near-dup graph: vertices, edges,
+    wedges (sum of deg-choose-2), triangles (ordered a<b<c three-way
+    edge join — each triangle counted once), and the global clustering
+    coefficient 3T/W. The triangle join's cost is bounded by the
+    verified-edge list (already near-dup-sparse), never the corpus; at
+    100 TB this is the standard edge-ordered triangle enumeration whose
+    skew is bounded by max component degree."""
+    edges = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionByName(edges.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        agg.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            dround(
+                3.0 * F.col("n_triangles") / F.greatest(F.col("n_wedges"), F.lit(1)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily-count lag-1 autocorrelation per event type — exact-integer
+# Pearson r over adjacent calendar days (both present; the gap-fill
+# query is the companion when the calendar has holes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_daily_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day + INTERVAL 1 DAY
+    ), sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           {sql_dround(
+               '(n_pairs * sxy - sx * sy) * 1.0 /'
+               ' greatest(sqrt((n_pairs * sxx - sx * sx) * 1.0'
+               '               * (n_pairs * syy - sy * sy)), 1e-12)', 6)}
+             AS lag1_autocorr
+    FROM sums
+    """,
+)
+def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event counts per type: Pearson r
+    over (day, day+1) count pairs, from EXACT integer sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) so the statistic is partition-order-independent on
+    both engines — the same exact-moments trick the Zipf slope and the
+    variance gate use. Near 0 on a memoryless log; spikes reveal
+    day-over-day momentum or batch-ingest artifacts."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    lagged = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+    den = F.greatest(
+        F.sqrt(
+            (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            * (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        F.lit(1e-12),
+    )
+    return sums.select(
+        "event_type", "n_pairs", dround(num / den, 6).alias("lag1_autocorr")
     )

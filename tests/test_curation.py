@@ -447,3 +447,44 @@ def test_transition_matrix_rows_normalize(spark):
         row_sum[r["from_type"]] += r["p_transition"]
     for ft, s in row_sum.items():
         assert abs(s - 1.0) < 1e-3, (ft, s)  # each row is a distribution
+
+
+def test_triangles_crafted_graph(spark, tmp_path):
+    """A 3-doc exact-copy group forms one triangle (clustering 1.0);
+    a 2-doc pair adds an edge but no wedge closure."""
+    a = [f"a{i}" for i in range(20)]
+    b = [f"b{i}" for i in range(20)]
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, a, "src0"), _doc(1, a, "src0"), _doc(2, a, "src0"),
+            _doc(3, b, "src0"), _doc(4, b, "src0"),
+        ],
+    )
+    r = REG["dedup_graph_triangles"].fn(spark, sf).first()
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (5, 4, 1)
+    # wedges: triangle contributes 3, pair contributes 0 -> 3T/W = 1.0
+    assert r["n_wedges"] == 3 and r["global_clustering"] == 1.0
+
+
+def test_autocorr_crafted_series(spark, tmp_path):
+    """A strictly increasing daily series has lag-1 autocorrelation 1;
+    an alternating series has -1."""
+    from datetime import datetime, timedelta
+
+    rows, eid = [], 0
+    base = datetime(2024, 1, 1)
+    for day, cnt in enumerate([1, 2, 3, 4, 5]):  # increasing -> r = 1
+        for _ in range(cnt):
+            rows.append((eid, base + timedelta(days=day), 1, "up", 1.0, "{}"))
+            eid += 1
+    for day, cnt in enumerate([1, 5, 1, 5, 1, 5]):  # alternating -> r = -1
+        for _ in range(cnt):
+            rows.append((eid, base + timedelta(days=day), 1, "alt", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = {r["event_type"]: r for r in
+           REG["events_daily_autocorr"].fn(spark, sf).collect()}
+    assert out["up"]["lag1_autocorr"] == 1.0
+    assert out["alt"]["lag1_autocorr"] == -1.0
