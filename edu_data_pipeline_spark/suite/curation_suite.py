@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import dround, register, sql_dround
+from . import davg, dround, register, sql_davg, sql_dround
 from .scale_suite import (
     DECON_EVAL_SOURCE,
     N_HASHES,
@@ -249,10 +249,9 @@ QC_KEEP_T = 0.55
 QC_HIGH_T = 0.65
 
 
-@register(
-    "docs_quality_classifier",
-    oracle=f"""
-    WITH feats AS (
+# (doc_id, n_tokens, quality_score) CTE chain — shared by the classifier
+# query and the duplication-vs-quality panel below
+_SQL_QC_SCORED = f"""feats AS (
       SELECT doc_id, n_chars,
              len(string_split(trim(text), ' ')) AS n_tokens,
              len(list_distinct(string_split(trim(text), ' '))) AS n_unique,
@@ -269,7 +268,13 @@ QC_HIGH_T = 0.65
                  4,
              )} AS quality_score
       FROM feats
-    )
+    )"""
+
+
+@register(
+    "docs_quality_classifier",
+    oracle=f"""
+    WITH {_SQL_QC_SCORED}
     SELECT doc_id, n_tokens, quality_score,
            CASE WHEN quality_score >= {QC_HIGH_T} THEN 'high'
                 WHEN quality_score >= {QC_KEEP_T} THEN 'mid'
@@ -1007,4 +1012,53 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("n_tokens") * 1.0 / F.count(F.lit(1)), 4).alias(
             "tokens_per_doc"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 12. Duplication vs quality: does near-duplication correlate with the
+# quality model? The panel a curator checks before assuming dedup and
+# quality filtering are independent passes.
+# ---------------------------------------------------------------------------
+
+
+def _dup_quality_oracle() -> str:
+    from .scale_suite import _SQL_COMPONENT_CTES
+
+    return f"""{_SQL_COMPONENT_CTES}, {_SQL_QC_SCORED},
+    csizes AS (
+      SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+    )
+    SELECT CASE WHEN s.cluster_size >= 3 THEN '3+'
+                ELSE CAST(s.cluster_size AS VARCHAR) END AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_davg('q.quality_score', 6)} AS mean_quality
+    FROM comp c
+    JOIN csizes s ON s.component = c.component
+    JOIN scored q ON q.doc_id = c.doc_id
+    GROUP BY 1
+    """
+
+
+@register("dedup_quality_by_cluster_size", oracle=_dup_quality_oracle())
+def dedup_quality_by_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean model-quality score by near-dup cluster size (1 / 2 / 3+):
+    on real web corpora duplicated documents skew toward boilerplate, so
+    this panel justifies (or refutes) running dedup before the quality
+    gate. Composes the shipped component labels with the shipped
+    classifier — both already verified — plus one join and one agg; the
+    mean routes through the decimal sum so bucket means are
+    partition-order-independent."""
+    from .scale_suite import dedup_components
+
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    q = docs_quality_classifier(spark, sf_dir).select("doc_id", "quality_score")
+    joined = comp.join(sizes, "component").join(q, "doc_id")
+    bucket = F.when(F.col("cluster_size") >= 3, "3+").otherwise(
+        F.col("cluster_size").cast("string")
+    )
+    return joined.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("quality_score"), 6).alias("mean_quality"),
     )
