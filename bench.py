@@ -79,6 +79,7 @@ HEADLINE = [
     "returned_revenue_customers",
     "event_transition_matrix",
     "dedup_graph_triangles",
+    "customer_rfm_segments",
 ]
 
 

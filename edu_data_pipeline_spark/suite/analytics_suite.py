@@ -2378,3 +2378,101 @@ def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("rev_exact").cast("double"), 2).alias("lost_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value decomposition: recency /
+# frequency / monetary quintiles + a rule segment. All three ntiles are
+# ordered with the customer key as the unique tie-break, so bucket
+# boundaries are deterministic on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH ref AS (
+      SELECT max(o_orderdate) AS ref_date FROM orders
+    ), base AS (
+      SELECT o.o_custkey AS c_custkey,
+             datediff('day', max(o.o_orderdate), max(r.ref_date)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum({sql_cents('o.o_totalprice')}) AS monetary_exact,
+             {sql_dsum_exact(sql_cents('o.o_totalprice'))} AS monetary
+      FROM orders o CROSS JOIN ref r
+      GROUP BY o.o_custkey
+    ), scored AS (
+      SELECT c_custkey, recency_days, frequency, monetary,
+             CAST(ntile(5) OVER (ORDER BY recency_days DESC, c_custkey) AS INT)
+               AS r_score,
+             CAST(ntile(5) OVER (ORDER BY frequency, c_custkey) AS INT)
+               AS f_score,
+             -- ntile on the EXACT decimal (the rounded double could tie
+             -- where the decimal does not, flipping a bucket boundary)
+             CAST(ntile(5) OVER (ORDER BY monetary_exact, c_custkey) AS INT)
+               AS m_score
+      FROM base
+    )
+    SELECT c_custkey, recency_days, frequency, monetary,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation of ordering customers: days since last
+    order (vs the log's max date, so the query is reproducible on a
+    static snapshot), order count, and exact-decimal lifetime spend,
+    each ntiled 1-5 with c_custkey as the unique ordering tie-break,
+    then mapped to the classic champion/loyal/at-risk/hibernating rule
+    segments. One agg over orders + three windows; at 100 TB the global
+    ntile becomes a quantile-boundary broadcast (computed once) instead
+    of a total sort — same scores, no global window."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    base = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(
+                F.max("ref_date").cast("date"), F.max("o_orderdate").cast("date")
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents(F.col("o_totalprice"))).alias("monetary_exact"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("c_custkey"))
+    f_w = Window.orderBy(F.asc("frequency"), F.asc("c_custkey"))
+    m_w = Window.orderBy(F.asc("monetary_exact"), F.asc("c_custkey"))
+    scored = base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        dround(F.col("monetary_exact").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(r_w).cast("int").alias("r_score"),
+        F.ntile(5).over(f_w).cast("int").alias("f_score"),
+        F.ntile(5).over(m_w).cast("int").alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "hibernating")
+        .otherwise("regular")
+        .alias("segment"),
+    )
