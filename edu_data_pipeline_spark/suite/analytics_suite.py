@@ -2476,3 +2476,59 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
         .alias("segment"),
     )
+
+
+@register(
+    "monthly_seasonal_index",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_part('month', o_orderdate) AS INT) AS month_of_year,
+             CAST(date_part('year', o_orderdate) AS INT) AS yr,
+             sum({sql_cents('o_totalprice')}) AS rev_exact
+      FROM orders GROUP BY 1, 2
+    ), per_month AS (
+      SELECT month_of_year,
+             CAST(count(*) AS BIGINT) AS n_years,
+             sum(rev_exact) AS m_rev
+      FROM monthly GROUP BY month_of_year
+    ), tot AS (
+      SELECT sum(m_rev) AS total, CAST(sum(n_years) AS BIGINT) AS n_cells
+      FROM per_month
+    )
+    SELECT p.month_of_year, p.n_years,
+           {sql_dround('CAST(p.m_rev AS DOUBLE) / p.n_years', 2)}
+             AS mean_monthly_revenue,
+           {sql_dround(
+               '(CAST(p.m_rev AS DOUBLE) / p.n_years)'
+               ' / (CAST(t.total AS DOUBLE) / t.n_cells)', 6)}
+             AS seasonal_index
+    FROM per_month p CROSS JOIN tot t
+    """,
+)
+def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonal index of order revenue: each calendar
+    month's mean monthly revenue over the years in the log, relative to
+    the all-months mean (index 1.0 = no seasonality). Exact decimal sums
+    feed one (month, year) agg, a 12-row rollup, and a broadcast scalar
+    — the classical-decomposition seasonal factor without any smoothing
+    parameter."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("month_of_year"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_exact"))
+    per_month = monthly.groupBy("month_of_year").agg(
+        F.count(F.lit(1)).alias("n_years"), F.sum("rev_exact").alias("m_rev")
+    )
+    tot = per_month.agg(
+        F.sum("m_rev").alias("total"),
+        F.sum("n_years").cast("long").alias("n_cells"),
+    )
+    mean_m = F.col("m_rev").cast("double") / F.col("n_years")
+    mean_all = F.col("total").cast("double") / F.col("n_cells")
+    return per_month.crossJoin(F.broadcast(tot)).select(
+        "month_of_year",
+        "n_years",
+        dround(mean_m, 2).alias("mean_monthly_revenue"),
+        dround(mean_m / mean_all, 6).alias("seasonal_index"),
+    )

@@ -1062,3 +1062,60 @@ def dedup_quality_by_cluster_size(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_docs"),
         davg(F.col("quality_score"), 6).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Token-distribution entropy per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "docs_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id
+    ), terms AS (
+      SELECT tf.doc_id, tot.n,
+             -(tf.c * 1.0 / tot.n) * ln(tf.c * 1.0 / tot.n) AS term
+      FROM tf JOIN tot ON tot.doc_id = tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           {sql_dround(
+               "CAST(sum(CAST(CAST(term AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)",
+               6)} AS entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each document's token distribution —
+    the lexical-diversity signal next to the unique-token ratio: spun or
+    templated text collapses entropy long before it collapses length.
+    Each -p·ln p term is a deterministic function of two integers; the
+    per-doc sum routes through DECIMAL so partial-aggregation order
+    cannot move the hash. One tf groupBy + one doc groupBy."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    tot_w = Window.partitionBy("doc_id")
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = tf.withColumn("n", F.sum("c").over(tot_w)).withColumn(
+        "term", -p * F.log(p)
+    )
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        dround(
+            F.sum(F.col("term").cast("string").cast("decimal(28,10)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("entropy_nats"),
+    )

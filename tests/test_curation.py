@@ -488,3 +488,13 @@ def test_autocorr_crafted_series(spark, tmp_path):
            REG["events_daily_autocorr"].fn(spark, sf).collect()}
     assert out["up"]["lag1_autocorr"] == 1.0
     assert out["alt"]["lag1_autocorr"] == -1.0
+
+
+def test_token_entropy_bounds(spark):
+    import math
+
+    rows = REG["docs_token_entropy"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-6
+        assert r["n_distinct"] <= r["n_tokens"]
