@@ -176,14 +176,48 @@ def run_corpus_pipeline(
     out_dir: str,
     seq_len: int = 2048,
     shards: int = 8,
+    eval_docs: DataFrame | None = None,
+    epochs: int = 0,
 ) -> dict[str, int]:
     """bronze → silver (filter + dedup) → gold (split + pack); returns
     per-layer counts. Gold is written partitioned by split so training
-    readers prune to their split at the file level."""
+    readers prune to their split at the file level.
+
+    Optional round-4 stages:
+    - ``eval_docs``: a benchmark/eval corpus — training docs whose
+      shingles hit its Bloom bitmap are QUARANTINED (written to
+      ``quarantine/``, excluded from silver/gold) before dedup, using
+      the same bitmap build as suite ``docs_bloom_screen`` and the
+      streaming router (no false negatives: a clean verdict is
+      definitive).
+    - ``epochs`` > 0: writes ``epoch_order/`` — the reproducible
+      per-epoch shuffle manifest (doc_id, epoch, position) over the gold
+      training split, ordered by md5(epoch:doc_id) exactly like suite
+      ``docs_epoch_order``.
+    """
     counts: dict[str, int] = {"bronze": docs.count()}
     docs.write.mode("overwrite").parquet(os.path.join(out_dir, "bronze"))
 
     gated = quality_gate(docs)
+
+    if eval_docs is not None:
+        from ..suite.curation_suite import bloom_bitmap, bloom_gram_flags
+        from ..suite.scale_suite import _distinct_shingles
+
+        bloom = bloom_bitmap(_distinct_shingles(eval_docs))
+        flags = bloom_gram_flags(_distinct_shingles(gated), bloom)
+        hit_docs = (
+            flags.where(F.col("bloom_pos"))
+            .select("doc_id")
+            .distinct()
+        )
+        quarantined = gated.join(hit_docs, "doc_id", "left_semi")
+        quarantined.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "quarantine")
+        )
+        counts["quarantined"] = quarantined.count()
+        gated = gated.join(hit_docs, "doc_id", "left_anti")
+
     exact = exact_dedup(gated)
     edges = near_dup_edges(exact)
     comp = connected_components(edges)
@@ -220,4 +254,30 @@ def run_corpus_pipeline(
         os.path.join(out_dir, "gold")
     )
     counts["gold"] = spark.read.parquet(os.path.join(out_dir, "gold")).count()
+
+    if epochs > 0:
+        train = spark.read.parquet(os.path.join(out_dir, "gold")).where(
+            F.col("split") == "train"
+        )
+        ep = train.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
+        )
+        key = F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        ew = Window.partitionBy("epoch").orderBy(key.asc())
+        order = ep.select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            F.row_number().over(ew).cast("long").alias("position"),
+        )
+        order.write.mode("overwrite").partitionBy("epoch").parquet(
+            os.path.join(out_dir, "epoch_order")
+        )
+        counts["epoch_order"] = order.count()
     return counts

@@ -53,3 +53,58 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert gold.where(F.col("pack_id").isNull()).count() == 0
     # deterministic: rerun produces identical layer counts
     assert run_corpus_pipeline(spark, docs, out) == counts
+
+
+def test_pipeline_quarantine_and_epoch_order(spark, tmp_path):
+    """Round-4 optional stages: a doc copying eval shingles is
+    quarantined (excluded from silver/gold); the epoch manifest is a
+    full permutation per epoch over the gold training split, and
+    permutations differ between epochs."""
+    def letters(n: int) -> str:  # alpha-only token material (quality
+        s = ""                   # gate requires alpha ratio >= 0.4)
+        n += 1
+        while n:
+            s += chr(97 + n % 26)
+            n //= 26
+        return s
+
+    shared = " ".join("sh" + letters(i) for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, " ".join("w" + letters(i) + "q" + letters(j) for j in range(30)),
+          "en", "srcA", 120)
+         for i in range(20)]
+        + [(99, shared + " tail words here", "en", "srcA", 120)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    eval_docs = spark.createDataFrame(
+        [(1000, shared, "en", "eval", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "corpus")
+    counts = run_corpus_pipeline(
+        spark, docs, out, eval_docs=eval_docs, epochs=2
+    )
+    assert counts["quarantined"] == 1
+    quarantined = {r["doc_id"] for r in
+                   spark.read.parquet(out + "/quarantine").collect()}
+    assert quarantined == {99}
+    silver_ids = {r["doc_id"] for r in
+                  spark.read.parquet(out + "/silver").collect()}
+    assert 99 not in silver_ids
+
+    order = spark.read.parquet(out + "/epoch_order").collect()
+    train_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out + "/gold").collect()
+        if r["split"] == "train"
+    }
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in order:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = r["position"]
+    assert set(by_epoch) == {0, 1}
+    for m in by_epoch.values():
+        assert set(m) == train_ids
+        assert sorted(m.values()) == list(range(1, len(train_ids) + 1))
+    if len(train_ids) > 1:
+        assert by_epoch[0] != by_epoch[1]
+    assert counts["epoch_order"] == 2 * len(train_ids)
