@@ -2532,3 +2532,44 @@ def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mean_m, 2).alias("mean_monthly_revenue"),
         dround(mean_m / mean_all, 6).alias("seasonal_index"),
     )
+
+
+@register(
+    "fulfillment_latency_profile",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           {sql_dround('quantile_cont(days, 0.5)', 4)} AS p50_days,
+           {sql_dround('quantile_cont(days, 0.95)', 4)} AS p95_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def fulfillment_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    integer day diffs through min/max and exact interpolated
+    percentiles (the value_percentiles determinism route) — the
+    fulfillment-SLA panel, and the query that shows whether priority
+    classes actually ship faster. One co-partitioned join + one agg."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+        dround(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
+        dround(F.expr("percentile(days, 0.95)"), 4).alias("p95_days"),
+    )

@@ -4702,3 +4702,82 @@ def events_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "event_type", "n_pairs", dround(num / den, 6).alias("lag1_autocorr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling burst detector: per-minute event counts z-scored against the
+# trailing hour — the finer-grained rolling twin of the daily z-score
+# gate (daily_event_anomalies), with exact-moment windows.
+# ---------------------------------------------------------------------------
+
+BURST_TRAIL_MIN = 60  # trailing window (minutes), current minute excluded
+BURST_Z = 3.0
+
+
+@register(
+    "events_burst_minutes",
+    oracle=f"""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, minute, n,
+             count(n) OVER w AS w_n,
+             sum(n) OVER w AS w_sum,
+             sum(n * n) OVER w AS w_sumsq
+      FROM per_min
+      WINDOW w AS (PARTITION BY event_type ORDER BY minute
+                   RANGE BETWEEN INTERVAL {BURST_TRAIL_MIN} MINUTES PRECEDING
+                         AND INTERVAL 1 MINUTE PRECEDING)
+    ), scored AS (
+      SELECT event_type, minute, n, w_n,
+             (w_sum * 1.0 / w_n) AS mu,
+             sqrt(greatest(w_sumsq * 1.0 / w_n
+                           - (w_sum * 1.0 / w_n) * (w_sum * 1.0 / w_n),
+                           1e-12)) AS sigma
+      FROM win WHERE w_n >= 30
+    )
+    SELECT event_type, minute, CAST(n AS BIGINT) AS n_events,
+           {sql_dround('(n - mu) / sigma', 4)} AS z_score
+    FROM scored
+    WHERE {sql_dround('(n - mu) / sigma', 4)} > {BURST_Z}
+    """,
+)
+def events_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minutes whose event count z-scores above 3 against the trailing
+    hour (current minute excluded; needs >=30 trailing minutes). Moments
+    come from integer sum/sumsq RANGE windows — exact on both engines —
+    and only the final ratio is a double, rounded before the threshold
+    compare so the alert set is hash-stable. State per partition is one
+    hour of minute counts: the same bounded-window discipline the
+    streaming jobs use."""
+    e = table(spark, sf_dir, "events")
+    per_min = e.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("minute").cast("long"))
+        .rangeBetween(-BURST_TRAIL_MIN * 60, -60)
+    )
+    win = per_min.select(
+        "event_type",
+        "minute",
+        "n",
+        F.count("n").over(w).alias("w_n"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sumsq"),
+    ).where(F.col("w_n") >= 30)
+    mu = F.col("w_sum") * 1.0 / F.col("w_n")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("w_sumsq") * 1.0 / F.col("w_n") - mu * mu, F.lit(1e-12)
+        )
+    )
+    z = dround((F.col("n") - mu) / sigma, 4)
+    return win.select(
+        "event_type",
+        "minute",
+        F.col("n").cast("long").alias("n_events"),
+        z.alias("z_score"),
+    ).where(F.col("z_score") > BURST_Z)

@@ -498,3 +498,24 @@ def test_token_entropy_bounds(spark):
     for r in rows:
         assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_distinct"]) + 1e-6
         assert r["n_distinct"] <= r["n_tokens"]
+
+
+def test_burst_detector_crafted(spark, tmp_path):
+    """A planted 10x minute against a flat trailing hour must alert;
+    the flat background must not."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 10, 8, 0, 0)
+    rows, eid = [], 0
+    for m in range(90):  # flat: 2 events/minute
+        cnt = 20 if m == 80 else 2  # burst at minute 80
+        for _ in range(cnt):
+            rows.append((eid, base + timedelta(minutes=m), 1, "click", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = REG["events_burst_minutes"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_events"] == 20
+    assert r["minute"].minute == 20  # 8:00 + 80 min = 9:20
+    assert r["z_score"] > 3.0
