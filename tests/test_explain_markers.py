@@ -82,3 +82,32 @@ def test_headline_aggregates_stay_in_codegen(spark, name):
     assert re.search(r"\*\(\d+\) HashAggregate", final), (
         f"{name}: aggregation fell out of whole-stage codegen:\n{final[:800]}"
     )
+
+
+def test_bloom_screen_broadcasts_bitmap(spark):
+    """The bloom probe must be a broadcast hash join against the bitmap
+    words (4096 rows max), never a shuffle on the gram stream."""
+    plan = _formatted(spark, "docs_bloom_screen")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_reuses_persisted_buckets(spark):
+    """Both candidate-join sides must read the PERSISTED bucket frame —
+    the 24-hyperplane projection tree appears once, not per branch."""
+    plan = _formatted(spark, "embedding_semantic_dedup")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_band_sweep_persists_shared_frames(spark):
+    """Signatures and the distinct shingle frame each materialize once
+    (persisted) across the three band configs and the verify join."""
+    plan = _formatted(spark, "minhash_band_sweep")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    plan = _formatted(spark, "docs_contamination_frac")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
