@@ -2573,3 +2573,72 @@ def fulfillment_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("percentile(days, 0.5)"), 4).alias("p50_days"),
         dround(F.expr("percentile(days, 0.95)"), 4).alias("p95_days"),
     )
+
+
+@register(
+    "customer_spend_gini",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o.o_custkey AS c_custkey, c.c_nationkey,
+             sum({sql_cents('o.o_totalprice')}) AS m_exact
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_nationkey
+    ), ranked AS (
+      SELECT c_nationkey, m_exact,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY m_exact, c_custkey) AS i
+      FROM spend
+    ), sums AS (
+      SELECT r.c_nationkey,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(r.i * r.m_exact) AS weighted,
+             sum(r.m_exact) AS total
+      FROM ranked r GROUP BY r.c_nationkey
+    )
+    SELECT n.n_name, s.n_customers,
+           {sql_dround('CAST(s.total AS DOUBLE)', 2)} AS total_spend,
+           {sql_dround(
+               '2.0 * CAST(s.weighted AS DOUBLE)'
+               ' / (s.n_customers * CAST(s.total AS DOUBLE))'
+               ' - (s.n_customers + 1.0) / s.n_customers', 6)} AS gini
+    FROM sums s JOIN nation n ON n.n_nationkey = s.c_nationkey
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — the inequality
+    metric behind 'how concentrated is our revenue': G = 2·Σ(i·xᵢ) /
+    (n·Σx) − (n+1)/n over ascending-sorted exact-decimal spend (rank
+    ties broken by customer key, weighted sums stay decimal-exact; the
+    only doubles are the two final rounded ratios). One agg + one
+    bounded per-nation window + a broadcast nation join."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "c_nationkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("m_exact"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("m_exact"), F.asc("c_custkey")
+    )
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    sums = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("i") * F.col("m_exact")).alias("weighted"),
+        F.sum("m_exact").alias("total"),
+    )
+    gini = (
+        2.0 * F.col("weighted").cast("double")
+        / (F.col("n_customers") * F.col("total").cast("double"))
+        - (F.col("n_customers") + 1.0) / F.col("n_customers")
+    )
+    return (
+        sums.join(F.broadcast(n), sums.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "n_customers",
+            dround(F.col("total").cast("double"), 2).alias("total_spend"),
+            dround(gini, 6).alias("gini"),
+        )
+    )

@@ -519,3 +519,38 @@ def test_burst_detector_crafted(spark, tmp_path):
     assert r["n_events"] == 20
     assert r["minute"].minute == 20  # 8:00 + 80 min = 9:20
     assert r["z_score"] > 3.0
+
+
+def test_gini_crafted_extremes(spark, tmp_path):
+    """Equal spenders -> Gini 0 (up to the (n+1)/n finite-sample term);
+    one customer owning everything -> Gini -> (n-1)/n."""
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 10)
+    orders = []
+    # nation 0 via custkeys 1..4: equal spend 100 each
+    for k in range(1, 5):
+        orders.append((k, k, "O", 100.0, ts, "1-URGENT"))
+    # nation 1 via custkeys 11..14: one whale
+    orders.append((11, 11, "O", 400.0, ts, "1-URGENT"))
+    for k in range(12, 15):
+        orders.append((100 + k, k, "O", 0.01, ts, "1-URGENT"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(k, f"c{k}", 0 if k < 10 else 1, 0.0, "BUILDING") for k in
+         list(range(1, 5)) + list(range(11, 15))],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "EQUALIA", 0, ""), (1, "WHALELAND", 0, "")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    out = {r["n_name"]: r for r in
+           REG["customer_spend_gini"].fn(spark, str(tmp_path)).collect()}
+    assert out["EQUALIA"]["gini"] == 0.0
+    assert out["WHALELAND"]["gini"] > 0.7  # near (n-1)/n = 0.75
