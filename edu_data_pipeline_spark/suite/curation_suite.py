@@ -1119,3 +1119,86 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Character-trigram profile per language + traffic heatmap
+# ---------------------------------------------------------------------------
+
+CHAR_NGRAM_TOP = 10
+
+
+@register(
+    "docs_char_trigram_profile",
+    oracle=f"""
+    WITH chars AS (
+      SELECT lang, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ), grams_raw AS (
+      SELECT lang,
+             unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                                   i -> substr(t, i, 3))) AS g
+      FROM chars WHERE length(t) >= 3
+    ), counts AS (
+      SELECT lang, g, count(*) AS n FROM grams_raw GROUP BY lang, g
+    ), ranked AS (
+      SELECT lang, g, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rk
+      FROM counts
+    )
+    SELECT lang, CAST(rk AS INT) AS rank, g AS trigram, CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rk <= {CHAR_NGRAM_TOP}
+    """,
+)
+def docs_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top character trigrams per language — the feature table a cheap
+    n-gram language identifier is built from (the docs_lang_id
+    heuristic's training-side companion). Whitespace-collapsed
+    lowercased text, explode+substr trigrams (shuffle-free generation,
+    same shape as the token-gram builder), one hash agg, one bounded
+    window with (count desc, gram asc) deterministic ranking."""
+    d = table(spark, sf_dir, "documents")
+    t = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    chars = d.select("lang", t.alias("t")).where(F.length("t") >= 3)
+    grams = chars.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, greatest(length(t) - 2, 1)),"
+                   " i -> substr(t, i, 3))")
+        ).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("g"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= CHAR_NGRAM_TOP)
+        .select("lang", "rank", F.col("g").alias("trigram"), "n")
+    )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(date_part('hour', ts) AS INT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour traffic heatmap (event + distinct-user
+    counts) — the capacity-planning view; 168 output cells regardless
+    of log size, one hash agg. dayofweek is 1=Sunday on both engines
+    under the pinned UTC session."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
