@@ -13,7 +13,7 @@ import sys
 import time
 
 from edu_data_pipeline_spark.session import get_spark
-from edu_data_pipeline_spark.suite import load_all
+from edu_data_pipeline_spark.suite import load_all, release_caches
 
 # Headline set: the heavier operators (joins, aggregates, windows, dedup,
 # similarity). Cheap constant-output queries are excluded from the bench.
@@ -97,6 +97,7 @@ def main() -> None:
     # Warm-up (untimed): first query through the SAME noop-write path, so
     # JVM/codegen/noop-sink init is paid before any timer starts.
     registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    release_caches()
     # Iteration-major min-of-N (VERDICT r3 #4): with query-major sampling
     # the lead queries' ALL samples ran on a cold JVM and absorbed warm-up
     # (~±7% suite variance concentrated in the first three names). Here a
@@ -113,6 +114,14 @@ def main() -> None:
             elapsed = time.perf_counter() - start
             if name not in best or elapsed < best[name]:
                 best[name] = elapsed
+            # Cache hygiene (VERDICT r4 #2): release this query's tracked
+            # persists + anything else cached, OUTSIDE the timer, so no
+            # query's cached partitions squeeze executor memory for the
+            # queries timed after it. Each sample pays its own persist
+            # cost — samples are independent, which is what min-of-N
+            # assumes.
+            release_caches()
+            spark.catalog.clearCache()
     timings = {name: round(best[name], 3) for name in names}
     total = round(sum(timings.values()), 3)
     result = {

@@ -134,8 +134,16 @@ def _dtype_note(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def compare_query(spark, con, entry, sf_dir: str, limit_detail: int = 5) -> ParityResult:
-    sdf = entry.fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    from .suite import release_caches
+
+    try:
+        sdf = entry.fn(spark, sf_dir)
+        spark_pdf = sdf.toPandas()
+    finally:
+        # Cache lifecycle (VERDICT r4 #2): frames the query persisted via
+        # persist_tracked() are consumed now — release them so a sweep
+        # over the full registry doesn't accumulate cached partitions.
+        release_caches()
     res = ParityResult(entry.name, True, len(spark_pdf), -1)
 
     if entry.oracle is None:

@@ -22,6 +22,7 @@ from . import (
     dround,
     dsum,
     dsum_exact,
+    persist_tracked,
     register,
     sql_cents,
     sql_davg,
@@ -2223,11 +2224,10 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order), never an items-level self-join."""
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part")
-    baskets = (
+    baskets = persist_tracked(
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.collect_set("p_brand").alias("brands"))
-        .persist()
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
     brand_n = (

@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import davg, dround, register, sql_davg, sql_dround
+from . import davg, dround, persist_tracked, register, sql_davg, sql_dround
 from .scale_suite import (
     DECON_EVAL_SOURCE,
     N_HASHES,
@@ -206,7 +206,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coefficients) is expensive to PLAN as much as to run — materializing
     # it once keeps the big expression out of both join branches (the
     # same single-pass fix brand_basket_lift applies to its basket frame).
-    buckets = embedding_lsh_buckets(spark, sf_dir).persist()
+    buckets = persist_tracked(embedding_lsh_buckets(spark, sf_dir))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

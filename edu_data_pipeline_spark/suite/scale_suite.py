@@ -28,7 +28,16 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import table
-from . import davg, dround, dsum, register, sql_davg, sql_dround, sql_dsum
+from . import (
+    davg,
+    dround,
+    dsum,
+    persist_tracked,
+    register,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 
 STOPWORDS = ("the", "a")
 
@@ -4404,10 +4413,10 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-Jaccard verify runs once over the UNION of candidates and
     joins back, so adding configs adds band joins, not verify passes."""
     d = table(spark, sf_dir, "documents")
-    sigs = _sigs_from_shingle_rows(_shingle_rows(d)).persist()
+    sigs = persist_tracked(_sigs_from_shingle_rows(_shingle_rows(d)))
     # the distinct shingle frame feeds sizes + both sides of the common
     # join; persist so the gram pipeline runs once, not three times
-    ex = _distinct_shingles(d).persist()
+    ex = persist_tracked(_distinct_shingles(d))
     cands = None
     for b, r in BAND_SWEEP_CFGS:
         rows = _band_rows_cfg(sigs, b, r)
@@ -4587,7 +4596,9 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified-edge list (already near-dup-sparse), never the corpus; at
     100 TB this is the standard edge-ordered triangle enumeration whose
     skew is bounded by max component degree."""
-    edges = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b").persist()
+    edges = persist_tracked(
+        minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
