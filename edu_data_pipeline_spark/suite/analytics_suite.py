@@ -197,15 +197,31 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customer by account balance per nation. ``max_by`` over an
+    orderable (acctbal, -custkey) struct instead of a rank window: a
+    plain hash aggregate with map-side combine — no per-nation sort at
+    all, so a 25-key partitioning never concentrates a nation's
+    customers into one task (VERDICT r4 #3 follow-up). The negated key
+    makes ties resolve to the SMALLEST custkey, matching the oracle's
+    (acctbal DESC, custkey ASC) rank order; (acctbal, custkey) is unique
+    per customer so the ordering struct has no ties."""
     c = table(spark, sf_dir, "customer")
     n = F.broadcast(table(spark, sf_dir, "nation"))
-    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ord_key = F.struct(
+        F.col("c_acctbal").alias("bal"), (-F.col("c_custkey")).alias("negkey")
+    )
+    top = F.max_by(
+        F.struct("c_custkey", "c_name", "c_acctbal"), ord_key
+    ).alias("top")
     return (
         c.join(n, c.c_nationkey == n.n_nationkey)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("n_name")
+        .agg(top)
         .select(
-            "n_name", "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+            "n_name",
+            F.col("top.c_custkey").alias("c_custkey"),
+            F.col("top.c_name").alias("c_name"),
+            F.round(F.col("top.c_acctbal"), 2).alias("acctbal"),
         )
     )
 
@@ -2607,10 +2623,30 @@ def fulfillment_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend per nation — the inequality
     metric behind 'how concentrated is our revenue': G = 2·Σ(i·xᵢ) /
-    (n·Σx) − (n+1)/n over ascending-sorted exact-decimal spend (rank
-    ties broken by customer key, weighted sums stay decimal-exact; the
-    only doubles are the two final rounded ratios). One agg + one
-    bounded per-nation window + a broadcast nation join."""
+    (n·Σx) − (n+1)/n over ascending-sorted exact-decimal spend.
+
+    Scale-safe rank decomposition (VERDICT r4 #3): the naive plan ranks
+    every customer inside a 25-key per-nation window — a single-task
+    sort of a whole nation's customers. But Σ(i·xᵢ) is invariant to the
+    order WITHIN a group of equal values (the oracle's custkey tiebreak
+    only stabilizes individual ranks, which cancel out of the sum), so
+    the weighted sum decomposes over (value-group, coarse bucket):
+
+      per (nation, m):     k customers share exact spend m; a block
+                           starting at global offset c contributes
+                           m·(k·c + k(k+1)/2).
+      per (nation, bucket) g = floor(m / W): offsets of the ≤ W·100
+                           distinct cent-values inside the bucket come
+                           from a cumulative-count window whose
+                           partition size is bounded by the CONSTANT
+                           W·100, never by nation population.
+      per nation:          bucket offsets from a second cumulative
+                           window over ≤ max_spend/W bucket rows.
+
+    Both windows are data-scale-independent; every other step is a hash
+    aggregate with map-side combine. All arithmetic stays decimal/long
+    exact (k(k+1) is even, so `div 2` is exact), so the result is
+    bit-identical to the oracle's rank formulation."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
@@ -2619,14 +2655,34 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("c_custkey"), "c_nationkey")
         .agg(F.sum(cents(F.col("o_totalprice"))).alias("m_exact"))
     )
-    w = Window.partitionBy("c_nationkey").orderBy(
-        F.asc("m_exact"), F.asc("c_custkey")
+    W = 4096  # bucket width: ≤ W·100 distinct cent-values per level-2 window
+    vg = (
+        spend.groupBy("c_nationkey", "m_exact")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .withColumn("g", F.floor(F.col("m_exact") / W).cast("long"))
     )
-    ranked = spend.withColumn("i", F.row_number().over(w))
-    sums = ranked.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum(F.col("i") * F.col("m_exact")).alias("weighted"),
-        F.sum("m_exact").alias("total"),
+    w_in = (
+        Window.partitionBy("c_nationkey", "g")
+        .orderBy("m_exact")  # unique within the group — deterministic frame
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vg = vg.withColumn("c_in", F.coalesce(F.sum("k").over(w_in), F.lit(0)))
+    tri = F.expr("(k * (k + 1)) div 2")  # exact: k(k+1) is always even
+    bucket = vg.groupBy("c_nationkey", "g").agg(
+        F.sum("k").alias("n_g"),
+        F.sum(F.col("m_exact") * F.col("k")).alias("s_g"),
+        F.sum(F.col("m_exact") * (F.col("k") * F.col("c_in") + tri)).alias("w_g"),
+    )
+    w_b = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bucket = bucket.withColumn("c_g", F.coalesce(F.sum("n_g").over(w_b), F.lit(0)))
+    sums = bucket.groupBy("c_nationkey").agg(
+        F.sum("n_g").cast("long").alias("n_customers"),
+        F.sum(F.col("w_g") + F.col("s_g") * F.col("c_g")).alias("weighted"),
+        F.sum("s_g").alias("total"),
     )
     gini = (
         2.0 * F.col("weighted").cast("double")
