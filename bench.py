@@ -75,11 +75,19 @@ HEADLINE = [
     "events_ks_test",
     "docs_epoch_order",
     "events_lateness_profile",
-    "minhash_band_sweep",
     "returned_revenue_customers",
     "event_transition_matrix",
     "dedup_graph_triangles",
     "customer_rfm_segments",
+]
+
+# Calibration tier (VERDICT r4 #7): measurement tooling whose cost is the
+# measurement itself, not engine speed — minhash_band_sweep runs THREE
+# bandings + a verify pass by design (10% of the r4 headline total).
+# Timed and reported separately so the headline total reflects the
+# engine; the 3-config query stays oracle-checked at sf0.01.
+CALIBRATION = [
+    "minhash_band_sweep",
 ]
 
 
@@ -122,6 +130,21 @@ def main() -> None:
             # assumes.
             release_caches()
             spark.catalog.clearCache()
+    # Calibration tier: timed with the same protocol, excluded from the
+    # headline total and the queries map.
+    cal_best: dict[str, float] = {}
+    cal_names = [n for n in CALIBRATION if n in registry]
+    for _ in range(N_RUNS):
+        for name in cal_names:
+            start = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = time.perf_counter() - start
+            if name not in cal_best or elapsed < cal_best[name]:
+                cal_best[name] = elapsed
+            release_caches()
+            spark.catalog.clearCache()
     timings = {name: round(best[name], 3) for name in names}
     total = round(sum(timings.values()), 3)
     result = {
@@ -129,6 +152,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "calibration": {n: round(t, 3) for n, t in cal_best.items()},
         "sf": sf,
         "n": N_RUNS,
     }

@@ -185,11 +185,14 @@ def run_corpus_pipeline(
 
     Optional round-4 stages:
     - ``eval_docs``: a benchmark/eval corpus — training docs whose
-      shingles hit its Bloom bitmap are QUARANTINED (written to
-      ``quarantine/``, excluded from silver/gold) before dedup, using
-      the same bitmap build as suite ``docs_bloom_screen`` and the
-      streaming router (no false negatives: a clean verdict is
-      definitive).
+      shingles hit its Bloom bitmap AND survive the exact-shingle
+      recheck are QUARANTINED (written to ``quarantine/`` with their
+      Bloom + exact hit counts, excluded from silver/gold) before
+      dedup, using the same bitmap build as suite ``docs_bloom_screen``
+      and the streaming router. Bloom has no false negatives (a clean
+      verdict is definitive) and the exact recheck rehabilitates its
+      false positives, so the quarantine holds exactly the true
+      eval-overlapping docs.
     - ``epochs`` > 0: writes ``epoch_order/`` — the reproducible
       per-epoch shuffle manifest (doc_id, epoch, position) over the gold
       training split, ordered by md5(epoch:doc_id) exactly like suite
@@ -204,19 +207,40 @@ def run_corpus_pipeline(
         from ..suite.curation_suite import bloom_bitmap, bloom_gram_flags
         from ..suite.scale_suite import _distinct_shingles
 
-        bloom = bloom_bitmap(_distinct_shingles(eval_docs))
-        flags = bloom_gram_flags(_distinct_shingles(gated), bloom)
-        hit_docs = (
+        # Two-stage screen (ADVICE r4): the Bloom bitmap is the cheap
+        # corpus-wide pass (no false negatives — a clean verdict is
+        # definitive), then Bloom POSITIVES get an exact-shingle semi-join
+        # recheck against the eval gram set, bounded to the (small)
+        # positive set's grams. Bloom false positives are rehabilitated
+        # into the pipeline instead of being permanently discarded; only
+        # docs with a TRUE eval shingle are quarantined, stamped with
+        # both their Bloom and exact hit counts for the audit trail.
+        eval_grams = _distinct_shingles(eval_docs)
+        bloom = bloom_bitmap(eval_grams)
+        gated_grams = _distinct_shingles(gated)
+        flags = bloom_gram_flags(gated_grams, bloom)
+        bloom_hits = (
             flags.where(F.col("bloom_pos"))
-            .select("doc_id")
-            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
         )
-        quarantined = gated.join(hit_docs, "doc_id", "left_semi")
+        exact_hits = (
+            gated_grams.join(bloom_hits.select("doc_id"), "doc_id", "left_semi")
+            .join(eval_grams.select("s").distinct(), "s", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+        )
+        quarantined = gated.join(bloom_hits, "doc_id").join(
+            exact_hits, "doc_id"
+        )
         quarantined.write.mode("overwrite").parquet(
             os.path.join(out_dir, "quarantine")
         )
         counts["quarantined"] = quarantined.count()
-        gated = gated.join(hit_docs, "doc_id", "left_anti")
+        counts["bloom_false_positives"] = (
+            bloom_hits.join(exact_hits, "doc_id", "left_anti").count()
+        )
+        gated = gated.join(exact_hits, "doc_id", "left_anti")
 
     exact = exact_dedup(gated)
     edges = near_dup_edges(exact)

@@ -681,10 +681,16 @@ def foreach_batch_bloom_quarantine(
     max_hits: int = 0,
 ):
     """Micro-batch router: score each doc against the broadcast bitmap,
-    append contaminated docs (with their hit counts) to the quarantine
+    write contaminated docs (with their hit counts) to the quarantine
     sink and the rest to the clean sink. One source read per batch, two
     consistent sinks — the foreach_batch_fanout pattern. Docs too short
-    to produce a shingle carry zero hits and route clean."""
+    to produce a shingle carry zero hits and route clean.
+
+    Replay-idempotent (ADVICE r4): both sinks are partitioned by
+    stream_batch_id and written with dynamic partition overwrite — the
+    foreach_batch_cms_delta scheme — so a checkpoint-replayed batch
+    REPLACES its own output instead of double-appending, and a crash
+    between the two sink writes heals on the retry."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -706,12 +712,16 @@ def foreach_batch_bloom_quarantine(
                 )
                 .withColumn("stream_batch_id", F.lit(batch_id))
             )
-            routed.where(F.col("quarantine")).write.mode("append").parquet(
-                quarantine_path
-            )
-            routed.where(~F.col("quarantine")).write.mode("append").parquet(
-                clean_path
-            )
+            for frame, path in (
+                (routed.where(F.col("quarantine")), quarantine_path),
+                (routed.where(~F.col("quarantine")), clean_path),
+            ):
+                (
+                    frame.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("stream_batch_id")
+                    .parquet(path)
+                )
         finally:
             batch_df.unpersist()
 
@@ -899,7 +909,11 @@ def foreach_batch_semantic_screen(
 ):
     """Micro-batch router: verified semantic duplicates (with their
     matched corpus vector and cosine) to the duplicate sink, the rest to
-    the novel sink."""
+    the novel sink.
+
+    Replay-idempotent (ADVICE r4): batch_id-partitioned dynamic
+    overwrite on both sinks, same scheme as the Bloom router and the
+    CMS delta writer — replayed batches replace their own output."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -909,12 +923,17 @@ def foreach_batch_semantic_screen(
             verdicts = semantic_screen_batch(
                 batch_df, index_buckets, index_vecs, dim, tau
             ).withColumn("stream_batch_id", F.lit(batch_id))
-            verdicts.where(F.col("matched_corpus_vec").isNotNull()).write.mode(
-                "append"
-            ).parquet(dup_path)
-            verdicts.where(F.col("matched_corpus_vec").isNull()).select(
+            dup = verdicts.where(F.col("matched_corpus_vec").isNotNull())
+            novel = verdicts.where(F.col("matched_corpus_vec").isNull()).select(
                 "vec_id", "stream_batch_id"
-            ).write.mode("append").parquet(novel_path)
+            )
+            for frame, path in ((dup, dup_path), (novel, novel_path)):
+                (
+                    frame.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("stream_batch_id")
+                    .parquet(path)
+                )
         finally:
             batch_df.unpersist()
 

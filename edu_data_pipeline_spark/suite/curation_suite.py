@@ -62,6 +62,11 @@ from .scale_suite import (
 # 1. Cross-source MinHash overlap matrix (mergeable sketch algebra)
 # ---------------------------------------------------------------------------
 
+# Broadcast-pairing bound for the sources^2 overlap join. Exceeding it
+# raises at runtime (ADVICE r4: a bare limit() would silently drop
+# sources from the matrix); patchable in tests to prove the guard fires.
+SOURCE_OVERLAP_CAP = 100_000
+
 _SQL_SRC_HALVES = """
       SELECT d.source,
              CAST(CAST('0x' || substr(md5(e.s), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
@@ -126,14 +131,43 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The non-equi pairing join is bounded by |sources|^2; the limit is a
     # no-op at any real source cardinality that doubles as the plan-lint
-    # boundedness certificate for the broadcast NLJ side.
-    a, b = sigs.alias("a"), sigs.limit(100_000).alias("b")
+    # boundedness certificate for the broadcast NLJ side. If source
+    # cardinality ever DID exceed the cap, a bare limit would silently
+    # drop sources from the overlap matrix (ADVICE r4) — so a runtime
+    # raise_error guard fails the query loudly instead. The guard factor
+    # multiplies into an OUTPUT column (Catalyst cannot prune it; a pure
+    # filter predicate on always-null assert_true gets folded away) and
+    # compares against a broadcast 1-row count — no driver-side action,
+    # the plan stays lazy, and n_matches is unchanged when within cap.
+    cap = SOURCE_OVERLAP_CAP
+    overflow_msg = F.lit(
+        f"source_minhash_overlap: source cardinality exceeds the {cap} "
+        "broadcast-pairing cap — raise the cap or shard the pairing join"
+    )
+    # The raise lives INSIDE the broadcast side's projection: the 1-row
+    # count frame is materialized when the broadcast builds, so the guard
+    # fires even when truncation would leave the pairing join with zero
+    # output rows (a per-output-row guard would never evaluate then).
+    n_src = sigs.agg(F.count(F.lit(1)).alias("n_raw")).select(
+        F.when(F.col("n_raw") <= cap, F.col("n_raw"))
+        .otherwise(F.raise_error(overflow_msg).cast("long"))
+        .alias("n_sources")
+    )
+    a, b = sigs.alias("a"), sigs.limit(cap).alias("b")
     matches = None
     for i in range(N_HASHES):
         term = F.when(F.col(f"a.sig_{i}") == F.col(f"b.sig_{i}"), 1).otherwise(0)
         matches = term if matches is None else matches + term
+    # n_sources/(greatest of itself) multiplies to 1 for any in-cap count —
+    # its only job is to REFERENCE the guarded column so Catalyst cannot
+    # prune the broadcast projection away.
+    guard_one = (F.col("n_sources") / F.greatest(F.col("n_sources"), F.lit(1))).cast(
+        "int"
+    )
+    matches = matches * guard_one
     return (
         a.join(F.broadcast(b), F.col("a.source") < F.col("b.source"))
+        .join(F.broadcast(n_src))
         .select(
             F.col("a.source").alias("src_a"),
             F.col("b.source").alias("src_b"),

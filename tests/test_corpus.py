@@ -85,12 +85,39 @@ def test_pipeline_quarantine_and_epoch_order(spark, tmp_path):
         spark, docs, out, eval_docs=eval_docs, epochs=2
     )
     assert counts["quarantined"] == 1
-    quarantined = {r["doc_id"] for r in
-                   spark.read.parquet(out + "/quarantine").collect()}
+    quar_rows = spark.read.parquet(out + "/quarantine").collect()
+    quarantined = {r["doc_id"] for r in quar_rows}
     assert quarantined == {99}
+    # ADVICE r4: quarantine carries the audit counts, every quarantined
+    # doc has a TRUE exact eval-shingle overlap (Bloom false positives
+    # are rehabilitated, none expected in this crafted corpus)
+    assert all(r["n_exact_hits"] >= 1 for r in quar_rows)
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in quar_rows)
+    assert counts["bloom_false_positives"] == 0
     silver_ids = {r["doc_id"] for r in
                   spark.read.parquet(out + "/silver").collect()}
     assert 99 not in silver_ids
+
+    # Bloom-false-positive rehabilitation: force EVERY gram to flag
+    # positive (worst-case bitmap saturation) — the exact recheck must
+    # still quarantine only the true overlap and return the rest to the
+    # pipeline.
+    import edu_data_pipeline_spark.suite.curation_suite as cur
+
+    real_flags = cur.bloom_gram_flags
+    cur.bloom_gram_flags = lambda grams, bloom: grams.withColumn(
+        "bloom_pos", F.lit(True)
+    )
+    try:
+        out_fp = str(tmp_path / "corpus_fp")
+        counts_fp = run_corpus_pipeline(spark, docs, out_fp, eval_docs=eval_docs)
+    finally:
+        cur.bloom_gram_flags = real_flags
+    assert counts_fp["quarantined"] == 1
+    assert counts_fp["bloom_false_positives"] == 20  # all clean docs flagged
+    fp_silver = {r["doc_id"] for r in
+                 spark.read.parquet(out_fp + "/silver").collect()}
+    assert 99 not in fp_silver and len(fp_silver) > 0  # clean docs survive
 
     order = spark.read.parquet(out + "/epoch_order").collect()
     train_ids = {

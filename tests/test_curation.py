@@ -220,6 +220,28 @@ def test_source_overlap_identical_vs_disjoint(spark, tmp_path):
     assert rows[("srcA", "srcC")]["n_matches"] < 16
 
 
+def test_source_overlap_cap_guard_fires(spark, tmp_path, monkeypatch):
+    """ADVICE r4: exceeding the broadcast-pairing cap must FAIL loudly,
+    never silently truncate the overlap matrix. Shrink the cap to 1 and
+    feed 3 sources — the runtime guard raises."""
+    import pytest
+
+    import edu_data_pipeline_spark.suite.curation_suite as cur
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            _doc(0, [f"a{i}" for i in range(40)], "srcA"),
+            _doc(1, [f"b{i}" for i in range(40)], "srcB"),
+            _doc(2, [f"c{i}" for i in range(40)], "srcC"),
+        ],
+    )
+    monkeypatch.setattr(cur, "SOURCE_OVERLAP_CAP", 1)
+    with pytest.raises(Exception, match="broadcast-pairing cap"):
+        REG["source_minhash_overlap"].fn(spark, sf).collect()
+
+
 def test_source_overlap_agrees_with_exact_on_real(spark):
     """Sketch estimate vs exact shingle-set Jaccard: mean absolute error
     over all source pairs must beat the 16-permutation standard error

@@ -688,6 +688,52 @@ def test_stream_bloom_quarantine_routes(spark, tmp_path):
     assert clean[12]["n_bloom_hits"] == 0  # shingle-less doc routes clean
 
 
+def test_router_sinks_idempotent_under_batch_replay(spark, tmp_path):
+    """ADVICE r4: a checkpoint-replayed micro-batch must REPLACE its own
+    sink output, not double-append — both routers write batch_id-keyed
+    dynamic partition overwrites. Re-invoking the foreachBatch body with
+    the same batch_id (what a post-crash replay does) leaves exactly one
+    copy of every row."""
+    from edu_data_pipeline_spark.suite.curation_suite import bloom_bitmap
+    from edu_data_pipeline_spark.suite.scale_suite import _distinct_shingles
+
+    eval_docs = spark.createDataFrame(
+        [(0, "secret eval answer tokens here now")], "doc_id long, text string"
+    )
+    bloom = bloom_bitmap(_distinct_shingles(eval_docs))
+    batch = spark.createDataFrame(
+        [
+            (10, "leading words then secret eval answer copied"),
+            (11, "completely unrelated clean document words"),
+        ],
+        "doc_id long, text string",
+    )
+    clean_p = str(tmp_path / "clean")
+    quar_p = str(tmp_path / "quarantine")
+    writer = jobs.foreach_batch_bloom_quarantine(bloom, clean_p, quar_p)
+    writer(batch, 7)
+    writer(batch, 7)  # replay of the SAME batch
+    assert spark.read.parquet(quar_p).count() == 1
+    assert spark.read.parquet(clean_p).count() == 1
+
+    # semantic screen router: replay the same vector batch
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 8 + [0.0] * 56)], "vec_id long, embedding array<double>"
+    )
+    buckets, vecs = jobs.embedding_index(corpus, 64)
+    vbatch = spark.createDataFrame(
+        [(100, [1.0] * 8 + [0.0] * 56), (101, [0.0] * 56 + [1.0] * 8)],
+        "vec_id long, embedding array<double>",
+    )
+    novel_p = str(tmp_path / "novel")
+    dup_p = str(tmp_path / "dup")
+    swriter = jobs.foreach_batch_semantic_screen(buckets, vecs, 64, novel_p, dup_p)
+    swriter(vbatch, 3)
+    swriter(vbatch, 3)
+    assert spark.read.parquet(dup_p).count() == 1
+    assert spark.read.parquet(novel_p).count() == 1
+
+
 def test_bloom_verdicts_match_batch_screen(spark):
     """The streaming router's verdict core must agree with the batch
     suite query on the same corpus: per-doc bloom-hit counts identical."""
