@@ -280,26 +280,15 @@ def run_corpus_pipeline(
     counts["gold"] = spark.read.parquet(os.path.join(out_dir, "gold")).count()
 
     if epochs > 0:
+        from ..suite.curation_suite import epoch_shuffle_positions
+
         train = spark.read.parquet(os.path.join(out_dir, "gold")).where(
             F.col("split") == "train"
         )
-        ep = train.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))).alias("epoch"),
-        )
-        key = F.md5(
-            F.concat(
-                F.col("epoch").cast("string"),
-                F.lit(":"),
-                F.col("doc_id").cast("string"),
-            )
-        )
-        ew = Window.partitionBy("epoch").orderBy(key.asc())
-        order = ep.select(
-            "doc_id",
-            F.col("epoch").cast("int").alias("epoch"),
-            F.row_number().over(ew).cast("long").alias("position"),
-        )
+        # Same md5(epoch:doc_id) permutation as suite docs_epoch_order,
+        # via the shared bucketed-rank decomposition — no single task
+        # ever sorts a whole epoch (r5 scale audit).
+        order = epoch_shuffle_positions(train.select("doc_id"), epochs)
         order.write.mode("overwrite").partitionBy("epoch").parquet(
             os.path.join(out_dir, "epoch_order")
         )

@@ -908,6 +908,44 @@ def docs_continuation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EPOCHS = 3
 
 
+def epoch_shuffle_positions(doc_ids: DataFrame, n_epochs: int) -> DataFrame:
+    """(doc_id, epoch, position): reproducible per-epoch shuffle order by
+    md5(epoch:doc_id), computed WITHOUT a per-epoch global sort. The
+    rank decomposes over the key's own 16-bit hex prefix (65,536
+    uniform buckets, a strict order prefix of the full key), so the
+    only sorts are within (epoch, bucket) — corpus/65,536 rows per
+    task — and over the 65,536 per-bucket counts per epoch
+    (`operators.windows.bucketed_running_sum`; prefix width is the
+    scale knob). Bit-identical to ``row_number() OVER (PARTITION BY
+    epoch ORDER BY key)``."""
+    from ..operators.windows import bucketed_running_sum
+
+    epochs = doc_ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    )
+    key = F.md5(
+        F.concat(
+            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+        )
+    )
+    keyed = epochs.withColumn("k", key)
+    bucket = F.conv(F.substring(F.col("k"), 1, 4), 16, 10).cast("long")
+    ranked = bucketed_running_sum(
+        keyed,
+        part_cols=["epoch"],
+        bucket=bucket,
+        order_cols=["k"],
+        value=F.lit(1),
+        out_col="position",
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col("position").cast("long").alias("position"),
+    )
+
+
 @register(
     "docs_epoch_order",
     oracle=f"""
@@ -927,28 +965,12 @@ def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     by md5(epoch:doc_id) — a different, deterministic permutation per
     epoch with no rand() (so any worker can recompute any epoch's order
     from the ids alone; the content-addressed property every resumable
-    dataloader needs). Spark-side this is one explode + one window per
-    epoch partition; at 100 TB the same key sorts WITHIN hash buckets
-    (bucket = first md5 byte) instead of globally — same statistical
-    shuffle, no total sort."""
+    dataloader needs). The rank itself is computed by the bucketed
+    decomposition in :func:`epoch_shuffle_positions` — no single task
+    ever sorts a whole epoch (the r5 scale-audit fix; previously a
+    3-key epoch window sorted the entire corpus per epoch)."""
     d = table(spark, sf_dir, "documents").select("doc_id")
-    epochs = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(EPOCHS - 1))).alias("epoch"),
-    )
-    key = F.md5(
-        F.concat(
-            F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("epoch").orderBy(key.asc())
-    return epochs.select(
-        "doc_id",
-        F.col("epoch").cast("int").alias("epoch"),
-        F.row_number().over(w).cast("long").alias("position"),
-    )
+    return epoch_shuffle_positions(d, EPOCHS)
 
 
 # ---------------------------------------------------------------------------

@@ -3238,7 +3238,18 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quality = fewest repeated shingles (templated/spun docs admit last);
     the running token sum stops each language exactly at its budget.
     Note the oracle's list_distinct is per-row over one doc's shingles —
-    bounded by doc length, not the O(n²)-per-row corpus trap."""
+    bounded by doc length, not the O(n²)-per-row corpus trap.
+
+    The running sum itself uses the bucketed decomposition
+    (`operators.windows.bucketed_running_sum`, r5 scale audit): a plain
+    per-language window sorts EVERY document of a language in one task.
+    The bucket — struct(n_repeated, doc_id div 4096) — is a strict
+    prefix of the (n_repeated, doc_id) order, so per-task sorts are
+    bounded by the id-range granule and the per-language offset pass
+    runs over per-bucket totals, not documents. Result is bit-identical
+    to the single-window form."""
+    from ..operators.windows import bucketed_running_sum
+
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens")
@@ -3253,15 +3264,27 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("n_repeated", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucket = F.struct(
+        F.col("n_repeated").alias("r"),
+        F.floor(F.col("doc_id") / 4096).alias("idg"),
+    )
+    cum = bucketed_running_sum(
+        joined,
+        part_cols=["lang"],
+        bucket=bucket,
+        order_cols=["doc_id"],
+        value=F.col("n_tokens"),
+        out_col="cum_tokens",
     )
     return (
-        joined.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
-        .select("doc_id", "lang", "n_tokens", "n_repeated", "cum_tokens")
+        cum.where(F.col("cum_tokens") <= LANG_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_repeated",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
     )
 
 
