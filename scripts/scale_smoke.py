@@ -165,6 +165,38 @@ def main():
                   f"time {round(g8 / max(g1, 1e-9), 1)}x, "
                   f"shuffle {round(mb8 / max(mb1, 1e-9), 1)}x")
         d8r = spark.read.parquet(os.path.join(tmp8, "documents.parquet"))
+
+        # Bucketed epoch-shuffle decomposition (r5 window audit): wall
+        # clock must track corpus volume ~linearly, and the quantity
+        # that bounds every sort task — rows per (epoch, 16-bit md5
+        # prefix bucket) — must stay corpus/65,536-ish, NOT corpus-sized
+        # (the pre-r5 per-epoch window sorted the whole corpus in one
+        # task; the decomposition is the fix being evidenced here).
+        from edu_data_pipeline_spark.suite.curation_suite import (
+            epoch_shuffle_positions,
+        )
+
+        def max_bucket_rows(dd):
+            k = F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string")))
+            b = F.conv(F.substring(k, 1, 4), 16, 10).cast("long")
+            return (
+                dd.select(b.alias("b"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n"))
+                .first()[0]
+            )
+
+        timed(epoch_shuffle_positions(d1.select("doc_id"), 3))  # warm
+        e1 = timed(epoch_shuffle_positions(d1.select("doc_id"), 3))
+        e8 = timed(epoch_shuffle_positions(d8r.select("doc_id"), 3))
+        print(
+            f"epoch shuffle order: 1x {e1}s (max sort task "
+            f"{max_bucket_rows(d1)} rows of {d1.count()}); 8x {e8}s (max "
+            f"{max_bucket_rows(d8r)} of {d8r.count()}); "
+            f"time {round(e8 / max(e1, 1e-9), 1)}x"
+        )
+
         n1 = gram_rows(d1, DUP_SPAN_K, out="g").count()
         n8 = gram_rows(d8r, DUP_SPAN_K, out="g").count()
         s1 = _distinct_shingles(d1).count()
