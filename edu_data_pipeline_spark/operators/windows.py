@@ -24,6 +24,13 @@ monotone function of the leading sort key(s)); within a bucket,
 more buckets → smaller sort tasks but a longer per-bucket offset window
 (one row per bucket — aggregated, so the offset window is cheap until
 bucket counts themselves are huge).
+
+Executed plan shape (verified at sf0.1): the big side shuffles ONCE on
+(partition, bucket) for its window; the per-bucket-totals side is tiny
+and broadcasts for the join-back, so the corpus is never re-shuffled —
+AQE picks the broadcast automatically, keeping the helper valid even
+for bucket domains too large to broadcast (it degrades to a
+co-partitioned SMJ, never a corpus-wide single sort).
 """
 
 from __future__ import annotations

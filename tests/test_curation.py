@@ -576,3 +576,43 @@ def test_gini_crafted_extremes(spark, tmp_path):
            REG["customer_spend_gini"].fn(spark, str(tmp_path)).collect()}
     assert out["EQUALIA"]["gini"] == 0.0
     assert out["WHALELAND"]["gini"] > 0.7  # near (n-1)/n = 0.75
+
+
+def test_gini_bucket_boundaries_match_bruteforce(spark, tmp_path):
+    """The r5 value-group/bucket decomposition must stay exact when
+    spends straddle the W=4096 bucket boundary and repeat across
+    customers: compare the query's gini against a brute-force rank
+    computation in Python on crafted values 4095.99 / 4096.00 / 4096.01
+    plus duplicates."""
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 10)
+    spends = [4095.99, 4096.00, 4096.00, 4096.01, 100.00, 8192.00, 8191.99]
+    orders = [(i + 1, i + 1, "O", s, ts, "1-URGENT")
+              for i, s in enumerate(spends)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(i + 1, f"c{i}", 0, 0.0, "BUILDING") for i in range(len(spends))],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(0, "EDGELAND", 0, "")],
+        "n_nationkey int, n_name string, n_regionkey int, n_comment string",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    out = REG["customer_spend_gini"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # brute force: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over sorted cents
+    xs = sorted(round(s * 100) for s in spends)  # exact cents
+    n = len(xs)
+    weighted = sum((i + 1) * x for i, x in enumerate(xs))
+    total = sum(xs)
+    want = 2.0 * weighted / (n * float(total)) - (n + 1.0) / n
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - round(want, 6)) < 1e-9
+    assert r["total_spend"] == round(total / 100.0, 2)
