@@ -22,7 +22,15 @@ HOSTILE = {
 def test_queries_self_heal_hostile_confs(spark):
     baseline = {
         name: REGISTRY[name].fn(spark, SF).count()
-        for name in ("events_hourly", "clean_dates", "pricing_summary")
+        for name in (
+            "events_hourly",
+            "clean_dates",
+            "pricing_summary",
+            # r5 bucketed-decomposition queries: conv/md5/struct-order
+            # must be conf-independent too
+            "docs_epoch_order",
+            "customer_spend_gini",
+        )
     }
     saved = {k: spark.conf.get(k) for k in HOSTILE}
     try:
