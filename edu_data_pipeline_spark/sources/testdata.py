@@ -64,6 +64,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def metadata_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job, no
+    data scan (pyarrow reads only the footers). This is how a production
+    pipeline sizes scale knobs (bucket widths, partition counts): from
+    the manifest/footer, not a cluster pass. For a 100 TB table this is
+    one footer read per file; for anything non-parquet fall back to
+    ``df.count()``."""
+    import pyarrow.dataset as ds
+
+    path = f"{sf_dir}/{name}.parquet"
+    return ds.dataset(path, format="parquet").count_rows()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 
