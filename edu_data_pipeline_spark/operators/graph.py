@@ -21,10 +21,22 @@ round, Pregel-style driver loop):
   Kiveris et al., "Connected Components in MapReduce and Beyond").
 
 Scale notes: each round is two equi-join shuffles plus a count; lineage
-is cut per round with localCheckpoint so plans stay O(1) deep. The jump
-join shuffles on the component id — for near-dup corpora components are
-small by construction, so no skew; a corpus with giant components would
-salt this join or switch to the star-contraction scheme.
+is cut per round with localCheckpoint so plans stay O(1) deep. Both
+per-round joins shuffle on keys a GIANT component makes hot (a
+boilerplate-heavy crawl's near-dup megacluster): the neighbor lookup on
+``dst`` (hub degree) and the jump join on the component id (after a few
+rounds every member of a megacluster carries the same label). Pass
+``skew_threshold`` to split each join into a hot tier and a cold tier:
+the right side of both joins is UNIQUE per key, so the hot slice of the
+right side has at most one row per hot key (≤ |keys|/threshold rows) —
+it broadcasts, turning the hot tier into a map-side hash join that never
+shuffles the hot rows at all, while cold keys keep the ordinary
+shuffled join. Hot ``dst`` keys are detected once from the static edge
+list; hot component ids are re-detected every round from the current
+labels (the megacluster label only emerges as rounds coalesce), which
+costs one extra localCheckpoint materialization per round — the price
+of exact per-round hotness. Labels are bit-identical with the feature
+on or off.
 """
 
 from __future__ import annotations
@@ -49,6 +61,46 @@ def symmetrize_edges(edges: DataFrame, src: str = "doc_a", dst: str = "doc_b") -
     )
 
 
+def _hot_keys(df: DataFrame, key: str, threshold: int) -> DataFrame:
+    """Key values of ``df[key]`` with multiplicity > threshold, as a
+    1-column frame ``hot_key``. The count is a map-side-combinable hash
+    aggregate (skew-immune itself); the output is bounded by
+    rows/threshold, small enough to broadcast by construction."""
+    return (
+        df.groupBy(F.col(key).alias("hot_key"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > threshold)
+        .select("hot_key")
+    )
+
+
+def _skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    hot: DataFrame,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``left`` with ``right`` on ``left_key == right_key`` (column
+    names must be disjoint across the two sides) where ``right`` is
+    UNIQUE per key, split by the hot-key frame: hot left rows probe a
+    BROADCAST of right's (one-row-per-hot-key, hence tiny) hot slice —
+    no shuffle ever sees a hot key — cold rows take the ordinary join.
+    Produces exactly the same rows as the plain join for any ``how``
+    that partitions by left row (inner/left)."""
+    cond = F.col(left_key) == F.col(right_key)
+    on_hot = F.col(left_key) == F.col("hot_key")
+    right_hot = right.join(
+        F.broadcast(hot), F.col(right_key) == F.col("hot_key"), "left_semi"
+    )
+    left_hot = left.join(F.broadcast(hot), on_hot, "left_semi")
+    left_cold = left.join(F.broadcast(hot), on_hot, "left_anti")
+    return left_hot.join(F.broadcast(right_hot), cond, how).unionByName(
+        left_cold.join(right, cond, how)
+    )
+
+
 def connected_components(
     vertices: DataFrame,
     sym_edges: DataFrame,
@@ -57,6 +109,7 @@ def connected_components(
     max_rounds: int = 64,
     pointer_jump: bool = True,
     strict: bool = False,
+    skew_threshold: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Label every vertex with min(vertex id) of its component.
 
@@ -75,6 +128,13 @@ def connected_components(
     own component and only ever decreases, so the fixpoint (no change
     across a round) is exactly the per-component minimum: at fixpoint
     every edge (u,v) has label(u) <= label(v) and vice versa.
+
+    ``skew_threshold``: when set, keys hotter than the threshold (vertex
+    degree for the neighbor lookup; component population for the jump
+    join) are routed through a broadcast hot tier instead of the
+    shuffled join (see module docstring) — the giant-component guard.
+    Labels are bit-identical either way; pick a threshold above the
+    per-task row count you can sort/join comfortably (e.g. 2**21).
     """
     sym = sym_edges.localCheckpoint()  # freeze (possibly expensive) lineage
     verts = vertices.select(F.col(vertex_col).alias("doc_id"))
@@ -86,14 +146,33 @@ def connected_components(
     active = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
     isolated = verts.join(active, "doc_id", "left_anti")
     labels = active.select("doc_id", F.col("doc_id").alias("component"))
+    # Hot dst keys (hub degree) are a property of the static edge list —
+    # detect once, pre-split the edge list once.
+    if skew_threshold is not None:
+        hot_dst = _hot_keys(sym, "dst", skew_threshold).localCheckpoint()
+        on_hot = F.col("dst") == F.col("hot_key")
+        sym_hot = sym.join(F.broadcast(hot_dst), on_hot, "left_semi").localCheckpoint()
+        sym_cold = sym.join(F.broadcast(hot_dst), on_hot, "left_anti").localCheckpoint()
     rounds = 0
     changed = 0
     for _ in range(max_rounds):
         rounds += 1
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("component").alias("nbr_component"))
+        lbl = labels.select(
+            F.col("doc_id").alias("l_id"), F.col("component").alias("l_comp")
+        )
+        if skew_threshold is None:
+            touched = sym.join(lbl, F.col("dst") == F.col("l_id"))
+        else:
+            # hot tier: labels' hot slice is ≤ one row per hot dst —
+            # broadcast it so a hub's edge rows never shuffle.
+            lbl_hot = lbl.join(
+                F.broadcast(hot_dst), F.col("l_id") == F.col("hot_key"), "left_semi"
+            )
+            touched = sym_hot.join(
+                F.broadcast(lbl_hot), F.col("dst") == F.col("l_id")
+            ).unionByName(sym_cold.join(lbl, F.col("dst") == F.col("l_id")))
+        neighbor_min = touched.groupBy(F.col("src").alias("doc_id")).agg(
+            F.min("l_comp").alias("nbr_component")
         )
         updated = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
@@ -106,12 +185,25 @@ def connected_components(
             # label(v) <- label(label(v)): labels are vertex ids, so the
             # lookup is a self-join; composing the contraction with the
             # 1-hop propagation doubles the reach per round.
+            if skew_threshold is not None:
+                # Materialize before hotness detection so the extra
+                # aggregate reads the computed frame, not a recompute of
+                # the whole round; hot components must be re-detected
+                # every round (the megacluster label emerges as rounds
+                # coalesce — static detection would miss it and the
+                # first skewed round is the one that OOMs).
+                updated = updated.localCheckpoint()
             jump = updated.select(
                 F.col("doc_id").alias("j_id"), F.col("component").alias("j_comp")
             )
-            updated = updated.join(
-                jump, updated.component == jump.j_id, "left"
-            ).select(
+            if skew_threshold is None:
+                updated = updated.join(jump, updated.component == jump.j_id, "left")
+            else:
+                hot_comp = _hot_keys(updated, "component", skew_threshold)
+                updated = _skew_split_join(
+                    updated, jump, "component", "j_id", hot_comp, "left"
+                )
+            updated = updated.select(
                 "doc_id",
                 F.coalesce(F.col("j_comp"), F.col("component")).alias("component"),
             )

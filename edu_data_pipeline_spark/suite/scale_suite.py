@@ -772,12 +772,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~log2(L) rounds instead of L (probed in scripts/scale_smoke.py,
     recorded in SCALE.md). The DuckDB oracle computes the same fixpoint
     via a recursive-CTE transitive closure — tractable at oracle scale,
-    while the Spark path scales to corpus size."""
+    while the Spark path scales to corpus size. The giant-component
+    guard is ON (r6): a boilerplate-heavy crawl's near-dup megacluster
+    would hot-key both per-round joins; keys over the threshold route
+    through a broadcast tier instead (labels bit-identical, crafted
+    megacluster pytest in tests/test_rebalance_and_graph.py)."""
     from ..operators.graph import connected_components, symmetrize_edges
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     edges = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels, _ = connected_components(d, symmetrize_edges(edges))
+    # 2^21 rows ≈ the per-key row count a single task can join/sort
+    # comfortably; far above any local component, so the local plan's hot
+    # tiers are empty (zero extra rows) while a 100 TB megacluster splits.
+    labels, _ = connected_components(
+        d, symmetrize_edges(edges), skew_threshold=2**21
+    )
     return labels.select(
         "doc_id", "component", (F.col("doc_id") == F.col("component")).alias("is_representative")
     )

@@ -75,3 +75,53 @@ def test_cc_warns_when_round_cap_exhausted(spark):
         warnings.simplefilter("error", NonConvergedComponentsWarning)
         labels, _ = connected_components(verts, sym, pointer_jump=True)
     assert {r["component"] for r in labels.collect()} == {0}
+
+
+def _labels_dict(labels):
+    return {r["doc_id"]: r["component"] for r in labels.collect()}
+
+
+def test_cc_skew_threshold_megacluster_bit_identical(spark):
+    """Crafted megacluster (star hub + 400 leaves, a boilerplate-heavy
+    crawl's near-dup blowup) plus a chain and an isolated pair: with a
+    threshold small enough that BOTH hot tiers engage (hub degree and
+    the emergent giant-component label), labels must be bit-identical
+    to the unsalted run and to ground truth."""
+    star = [(0, i) for i in range(1, 401)]            # hub 0, degree 400
+    chain = [(1000 + i, 1001 + i) for i in range(6)]  # 1000..1006
+    pair = [(2000, 2001)]
+    edges = spark.createDataFrame(star + chain + pair, "doc_a long, doc_b long")
+    verts = (
+        spark.range(0, 401)
+        .union(spark.range(1000, 1007))
+        .union(spark.range(2000, 2002))
+        .select(F.col("id").alias("doc_id"))
+    )
+    sym = symmetrize_edges(edges)
+
+    plain, _ = connected_components(verts, sym)
+    salted, _ = connected_components(verts, sym, skew_threshold=5)
+    got_plain, got_salted = _labels_dict(plain), _labels_dict(salted)
+    assert got_plain == got_salted
+    for v in range(401):
+        assert got_salted[v] == 0
+    for v in range(1000, 1007):
+        assert got_salted[v] == 1000
+    assert got_salted[2000] == got_salted[2001] == 2000
+
+
+def test_cc_skew_threshold_chain_and_no_hot_keys(spark):
+    """A long chain under pointer-jumping with the skew guard on: no key
+    is ever hot at threshold 10^6 (the empty-hot-tier path), and at
+    threshold 2 the cold/hot split still converges to the same labels."""
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    verts = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    sym = symmetrize_edges(edges)
+    base, _ = connected_components(verts, sym)
+    for thr in (2, 1_000_000):
+        got, _ = connected_components(verts, sym, skew_threshold=thr)
+        assert _labels_dict(got) == _labels_dict(base)
+        assert set(_labels_dict(got).values()) == {0}
