@@ -674,6 +674,39 @@ def bloom_doc_verdicts(
     )
 
 
+def _assert_batch_partitioned_layout(*paths: str) -> None:
+    """Fail fast when a batch_id-partitioned dynamic-overwrite sink is
+    pointed at a directory written by the pre-r5 APPEND layout (where
+    stream_batch_id was a plain data column): resuming would mix flat
+    parquet files with ``stream_batch_id=N/`` partition dirs, and reads
+    of the mixed tree mishandle the column (long data column vs
+    partition-inferred int — ADVICE r5). A local sink dir must be empty
+    or already partition-laid-out; non-local URIs are skipped (listing
+    policy belongs to the object store, and the layout contract is in
+    each writer's docstring)."""
+    import os
+
+    for path in paths:
+        if "://" in path:
+            continue
+        try:
+            entries = os.listdir(path)
+        except (FileNotFoundError, NotADirectoryError):
+            continue
+        bad = [
+            e
+            for e in entries
+            if not e.startswith(("stream_batch_id=", "_", "."))
+        ]
+        if bad:
+            raise ValueError(
+                f"sink {path!r} contains non-batch-partitioned output "
+                f"{sorted(bad)[:3]} — written by the old append layout; "
+                "point the stream at a fresh directory or migrate the "
+                "old files into stream_batch_id=N/ partitions first"
+            )
+
+
 def foreach_batch_bloom_quarantine(
     bloom: DataFrame,
     clean_path: str,
@@ -690,7 +723,11 @@ def foreach_batch_bloom_quarantine(
     stream_batch_id and written with dynamic partition overwrite — the
     foreach_batch_cms_delta scheme — so a checkpoint-replayed batch
     REPLACES its own output instead of double-appending, and a crash
-    between the two sink writes heals on the retry."""
+    between the two sink writes heals on the retry. Layout contract:
+    sinks must be empty or already stream_batch_id-partitioned
+    (checked at wiring time for local paths — the pre-r5 append layout
+    is not resumable under this scheme)."""
+    _assert_batch_partitioned_layout(clean_path, quarantine_path)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -769,8 +806,11 @@ def doc_token_rows(docs: DataFrame) -> DataFrame:
 def foreach_batch_cms_delta(sketch_path: str):
     """Micro-batch sink: build this batch's CMS delta and write it to
     ``sketch_path/stream_batch_id=N`` (dynamic partition overwrite, so a
-    replayed batch REPLACES its own delta instead of double-counting)."""
+    replayed batch REPLACES its own delta instead of double-counting).
+    Layout contract: see :func:`_assert_batch_partitioned_layout`."""
     from ..suite.curation_suite import cms_sketch
+
+    _assert_batch_partitioned_layout(sketch_path)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -913,7 +953,9 @@ def foreach_batch_semantic_screen(
 
     Replay-idempotent (ADVICE r4): batch_id-partitioned dynamic
     overwrite on both sinks, same scheme as the Bloom router and the
-    CMS delta writer — replayed batches replace their own output."""
+    CMS delta writer — replayed batches replace their own output.
+    Layout contract: see :func:`_assert_batch_partitioned_layout`."""
+    _assert_batch_partitioned_layout(novel_path, dup_path)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -123,11 +123,18 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    sigs = halves.groupBy("source").agg(
-        *[
-            F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}")
-            for i in range(N_HASHES)
-        ]
+    # One materialization of the sketch pipeline, shared by the guard
+    # count, the probe side, and the broadcast side — without it the
+    # shingle->md5->groupBy chain executes three times per run (ADVICE
+    # r5). |sources| rows — trivially cacheable; released by the
+    # harnesses' release_caches().
+    sigs = persist_tracked(
+        halves.groupBy("source").agg(
+            *[
+                F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}")
+                for i in range(N_HASHES)
+            ]
+        )
     )
     # The non-equi pairing join is bounded by |sources|^2; the limit is a
     # no-op at any real source cardinality that doubles as the plan-lint

@@ -865,3 +865,33 @@ def test_semantic_screen_self_retrieval(spark):
         assert r["matched_corpus_vec"] is not None
         assert r["best_cosine"] == 1.0
         assert r["matched_corpus_vec"] <= r["vec_id"]
+
+
+def test_batch_partitioned_sink_layout_guard(spark, tmp_path):
+    """Pointing a batch_id-partitioned router at a directory holding the
+    old APPEND layout (flat files, stream_batch_id as a data column)
+    must fail at wiring time, not corrupt reads later; empty and
+    already-partitioned directories are accepted."""
+    import pytest as _pytest
+
+    from edu_data_pipeline_spark.suite.curation_suite import bloom_bitmap
+    from edu_data_pipeline_spark.suite.scale_suite import _distinct_shingles
+
+    docs = spark.createDataFrame([(0, "a b c d e f g h i j")],
+                                 "doc_id long, text string")
+    bloom = bloom_bitmap(_distinct_shingles(docs))
+
+    old_layout = str(tmp_path / "old_sink")
+    spark.createDataFrame([(1, 0)], "doc_id long, stream_batch_id long")\
+        .write.parquet(old_layout)
+    with _pytest.raises(ValueError, match="append layout"):
+        jobs.foreach_batch_bloom_quarantine(bloom, old_layout,
+                                            str(tmp_path / "q1"))
+    with _pytest.raises(ValueError, match="append layout"):
+        jobs.foreach_batch_cms_delta(old_layout)
+    # fresh + missing dirs pass; a partitioned dir written by the writer
+    # itself passes on re-wiring (resume)
+    clean_p, quar_p = str(tmp_path / "clean"), str(tmp_path / "quar")
+    writer = jobs.foreach_batch_bloom_quarantine(bloom, clean_p, quar_p)
+    writer(docs, 0)
+    jobs.foreach_batch_bloom_quarantine(bloom, clean_p, quar_p)  # resume ok
