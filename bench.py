@@ -91,7 +91,39 @@ CALIBRATION = [
 ]
 
 
-N_RUNS = 3  # min-of-N; also recorded in the result so history stays honest
+N_RUNS = 5  # min-of-N; raised from 3 (VERDICT r5 #2: ±10% band, 3 too few)
+
+# Query-set version (ADVICE r5 #2): bumped whenever HEADLINE/CALIBRATION
+# membership changes, so history tooling never compares totals across
+# different set definitions (the r4->r5 band-sweep tiering moved the raw
+# 'value' 59.8->51.8 by set change alone). "r5-53q" = the set as frozen
+# in round 5: 53 headline queries + 1 calibration query.
+SET_VERSION = "r5-53q"
+
+# Pinned reference for the machine-derived round-over-round ratio
+# (VERDICT r5 #1/#2): BENCH_r03 is the last round before the cache-leak
+# era, so every later run is comparable to it on the shared query names.
+# The ratio is computed INSIDE bench.py and stored in every history row —
+# docs cite the recorded artifact, never a hand-picked run.
+R03_REFERENCE = "BENCH_r03.json"
+
+
+def _r03_queries() -> dict[str, float]:
+    """Per-query timings from the pinned round-3 bench artifact.
+
+    The driver's BENCH_r{N}.json wraps the bench JSON line under
+    "parsed"; accept both that and a bare result object. Missing or
+    malformed reference -> empty dict (ratio omitted, never fabricated).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), R03_REFERENCE)
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    parsed = doc.get("parsed", doc)
+    queries = parsed.get("queries", {})
+    return {str(k): float(v) for k, v in queries.items()}
 
 
 def main() -> None:
@@ -114,12 +146,15 @@ def main() -> None:
     # discards. min-of-N itself: the machine's noise band is ~±30%, so
     # min-of-2 left round-over-round regressions unattributable (r1 #8).
     best: dict[str, float] = {}
+    iter_totals: list[float] = []  # per-iteration suite totals (spread evidence)
     for _ in range(N_RUNS):
+        iter_total = 0.0
         for name in names:
             start = time.perf_counter()
             df = registry[name].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
+            iter_total += elapsed
             if name not in best or elapsed < best[name]:
                 best[name] = elapsed
             # Cache hygiene (VERDICT r4 #2): release this query's tracked
@@ -130,6 +165,7 @@ def main() -> None:
             # assumes.
             release_caches()
             spark.catalog.clearCache()
+        iter_totals.append(round(iter_total, 3))
     # Calibration tier: timed with the same protocol, excluded from the
     # headline total and the queries map.
     cal_best: dict[str, float] = {}
@@ -147,6 +183,12 @@ def main() -> None:
             spark.catalog.clearCache()
     timings = {name: round(best[name], 3) for name in names}
     total = round(sum(timings.values()), 3)
+    # Noise-band evidence (VERDICT r5 #2): the per-iteration suite totals,
+    # their median, and relative spread live in every result row, so "is
+    # this delta real or noise" is answerable from the artifact alone.
+    srt = sorted(iter_totals)
+    median = srt[len(srt) // 2] if len(srt) % 2 else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
+    spread = (srt[-1] - srt[0]) / median if median else 0.0
     result = {
         "metric": "suite_headline_total",
         "value": total,
@@ -155,7 +197,25 @@ def main() -> None:
         "calibration": {n: round(t, 3) for n, t in cal_best.items()},
         "sf": sf,
         "n": N_RUNS,
+        "set_version": SET_VERSION,
+        "iter_totals": iter_totals,
+        "total_median": round(median, 3),
+        "total_spread_pct": round(100 * spread, 1),
     }
+    # Machine-derived shared-set ratio vs the pinned r3 artifact
+    # (VERDICT r5 #1): sum of current min-of-N over the query names both
+    # runs share, divided by r3's sum over the same names.
+    r03 = _r03_queries()
+    shared = sorted(set(r03) & set(timings))
+    if shared and sf == 0.1:
+        cur = sum(timings[q] for q in shared)
+        ref = sum(r03[q] for q in shared)
+        result["shared_r03"] = {
+            "n_queries": len(shared),
+            "total": round(cur, 3),
+            "ref_total": round(ref, 3),
+            "ratio": round(cur / ref, 3) if ref else None,
+        }
     print(json.dumps(result))
     # Persistent per-query history so round-over-round regressions are
     # attributable (VERDICT r2 #2): one JSONL row per bench invocation.

@@ -25,6 +25,23 @@ Documented divergences from the reference (each locked by a test):
 - Two-digit years (``%d-%b-%y``): Python pivots 69-99 to 19xx; Spark's
   ``yy`` maps 00-99 to 20xx. We post-adjust years ≥ 2069 back 100 years to
   match Python's pivot exactly.
+- Whitespace stripping (`.strip()` sites) covers the six ASCII whitespace
+  chars (space, \\t, \\n, \\x0b, \\f, \\r) via a regexp trim — Spark's
+  ``trim`` removes only spaces, which silently diverged from the
+  reference on tab/newline-padded input (found by the rule fuzz,
+  tests/test_rule_fuzz.py). Python ``str.strip()`` additionally strips
+  exotic Unicode whitespace (\\x1c-\\x1f, \\x85, \\xa0, …) — out of
+  contract.
+- Score rounding (``bround``) rounds the value's shortest decimal
+  representation (Java ``BigDecimal.valueOf`` semantics: 2.675 -> 2.68),
+  while Python ``round()`` rounds the exact binary double (2.675 ->
+  2.67). The SQL convention is deliberate; the fuzz twin mirrors it.
+- Timezone offsets: Java bounds offsets to ±18:00 and rejects
+  seconds-bearing offsets under our guards; Python ``%z`` accepts up to
+  ±24h, minutes > 59, and ``±HH:MM:SS``. Out of contract.
+- Spark's string->double cast uses ``Double.parseDouble``, which also
+  accepts Java float literals ("1d", "0x1p3"); Python ``float()``
+  rejects them. Out of contract for score inputs.
 """
 
 from __future__ import annotations
@@ -46,6 +63,16 @@ class RuleColumns(NamedTuple):
 def _s(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast("string")
+
+
+def _strip(col: Column) -> Column:
+    """Python ``str.strip()`` parity for ASCII whitespace.
+
+    ``F.trim`` removes only the space character; the reference strips all
+    whitespace. Java ``\\s`` = [ \\t\\n\\x0b\\f\\r] — exactly the ASCII
+    subset of Python's (see module docstring divergence list).
+    """
+    return F.regexp_replace(col, "^\\s+|\\s+$", "")
 
 
 # ---------------------------------------------------------------------------
@@ -81,7 +108,7 @@ def clean_name(col: Column | str) -> tuple[RuleColumns, Column, Column]:
     the reference behavior). Returns ``(full_name RuleColumns, first, last)``.
     """
     raw = _s(col)
-    collapsed = F.regexp_replace(F.trim(raw), "\\s+", " ")
+    collapsed = F.regexp_replace(_strip(raw), "\\s+", " ")
     name = F.initcap(F.regexp_replace(collapsed, "[0-9]", ""))
     is_valid = raw.isNotNull() & (name != "")
     value = F.when(is_valid, name)
@@ -108,7 +135,7 @@ EMAIL_PATTERN = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
 
 def validate_email(col: Column | str) -> RuleColumns:
     raw = _s(col)
-    email = F.lower(F.trim(raw))
+    email = F.lower(_strip(raw))
     ok = email.rlike(EMAIL_PATTERN)
     value = F.when(raw.isNotNull() & ok, email)
     is_valid = raw.isNotNull() & ok
@@ -269,7 +296,7 @@ def parse_date_time(col: Column | str, ref_ts: Column | None = None) -> RuleColu
 
 def standardize_gender(col: Column | str) -> RuleColumns:
     raw = _s(col)
-    g = F.lower(F.trim(raw))
+    g = F.lower(_strip(raw))
     male = g.isin("m", "male")
     female = g.isin("f", "female")
     value = (
@@ -312,7 +339,7 @@ CITY_CORRECTIONS = {"Mumabi": "Mumbai", "Banglore": "Bangalore", "Pune": "Pune"}
 def normalize_city(col: Column | str) -> Column:
     """Trim/collapse/titlecase + hardcoded corrections (pre-fuzzy step)."""
     raw = _s(col)
-    city = F.initcap(F.regexp_replace(F.trim(raw), "\\s+", " "))
+    city = F.initcap(F.regexp_replace(_strip(raw), "\\s+", " "))
     corrected = city
     for wrong, right in CITY_CORRECTIONS.items():
         corrected = F.when(corrected == wrong, right).otherwise(corrected)
@@ -321,7 +348,7 @@ def normalize_city(col: Column | str) -> Column:
 
 def clean_state(col: Column | str) -> RuleColumns:
     raw = _s(col)
-    state = F.initcap(F.regexp_replace(F.trim(raw), "\\s+", " "))
+    state = F.initcap(F.regexp_replace(_strip(raw), "\\s+", " "))
     value = F.when(raw.isNotNull(), state)
     is_valid = raw.isNotNull()
     note = F.when(raw.isNull(), "missing").otherwise("normalized")
@@ -360,7 +387,7 @@ def positional_similarity(a: Column | str, b: Column | str) -> Column:
 def clean_numeric(col: Column | str) -> RuleColumns:
     """Strip currency/grouping chars, abs() negatives (flagged), empty -> 0.0."""
     raw = _s(col)
-    empty = raw.isNull() | (F.trim(raw) == "")
+    empty = raw.isNull() | (_strip(raw) == "")
     stripped = F.regexp_replace(raw, "[^0-9.\\-]", "")
     number = stripped.cast("double")  # ANSI off: unparseable -> NULL
     value = (
@@ -386,7 +413,7 @@ def clean_numeric(col: Column | str) -> RuleColumns:
 def validate_score(col: Column | str) -> RuleColumns:
     """Cast, cap to [0,100] with flag, banker's-round to 2 (Python round())."""
     raw = _s(col)
-    number = F.trim(raw).cast("double")
+    number = _strip(raw).cast("double")
     capped = F.least(F.greatest(number, F.lit(0.0)), F.lit(100.0))
     value = F.when(number.isNotNull(), F.bround(capped, 2))
     in_range = (number >= 0) & (number <= 100)
@@ -418,7 +445,7 @@ PAYMENT_STATUS_MAP = {
 def map_payment_status(col: Column | str) -> Column:
     """Lower/trim key -> canonical status; unknown key -> UNKNOWN."""
     raw = _s(col)
-    key = F.lower(F.trim(F.coalesce(raw, F.lit(""))))
+    key = F.lower(_strip(F.coalesce(raw, F.lit(""))))
     mapping = F.create_map(
         *[F.lit(x) for kv in PAYMENT_STATUS_MAP.items() for x in kv]
     )
@@ -429,7 +456,7 @@ def payment_status_raw(col: Column | str) -> Column:
     """Staging keeps the Title-cased raw value, empty -> "Unknown"
     (cleaners.py:19-20)."""
     raw = _s(col)
-    trimmed = F.trim(F.coalesce(raw, F.lit("")))
+    trimmed = _strip(F.coalesce(raw, F.lit("")))
     return F.when(trimmed == "", "Unknown").otherwise(F.initcap(trimmed))
 
 
