@@ -41,7 +41,17 @@ Documented divergences from the reference (each locked by a test):
   ±24h, minutes > 59, and ``±HH:MM:SS``. Out of contract.
 - Spark's string->double cast uses ``Double.parseDouble``, which also
   accepts Java float literals ("1d", "0x1p3"); Python ``float()``
-  rejects them. Out of contract for score inputs.
+  rejects them, and ``float()`` alone accepts underscored literals
+  ("1_0") and case-folded "nan"/"inf" words the cast handles
+  differently (Spark orders NaN above all doubles, so a literal "nan"
+  score would validate as 100.0 where the reference keeps NaN). All out
+  of contract for score inputs.
+- strptime literal flexibility IS mirrored (found by the rule fuzz):
+  month names and the literal 'T' separator match case-insensitively,
+  and each whitespace run in a format matches ``\\s+`` — parse_date /
+  parse_date_time canonicalize (collapse + title-case month) before the
+  strict Java formatter. Lowercase 'z' stays rejected (Python %z is
+  case-sensitive there, verified).
 """
 
 from __future__ import annotations
@@ -186,9 +196,15 @@ DATE_FORMATS_SPARK = [
 ]
 
 
-def _parse_two_digit_year(trimmed: Column) -> Column:
-    """``d-MMM-yy`` with Python's 69-99 -> 19xx pivot (Spark maps to 20xx)."""
-    parsed = F.to_date(trimmed, "d-MMM-yy")
+def _parse_two_digit_year(canon: Column) -> Column:
+    """``d-MMM-yy`` with Python's 69-99 -> 19xx pivot (Spark maps to 20xx).
+
+    strptime matches month abbreviations case-insensitively ("05-MAR-99");
+    Java's strict formatter wants "Mar" exactly. ``initcap`` only title-cases
+    at spaces, so swap the dashes for spaces first, then parse ``d MMM yy``.
+    """
+    spaced = F.initcap(F.lower(F.translate(canon, "-", " ")))
+    parsed = F.to_date(spaced, "d MMM yy")
     return F.when(F.year(parsed) >= 2069, F.add_months(parsed, -1200)).otherwise(parsed)
 
 
@@ -207,15 +223,25 @@ DATE_GUARDS = [
 
 
 def parse_date(col: Column | str, ref_date: Column | None = None) -> RuleColumns:
-    """First-match-wins over the 5 reference formats; bounds [1950, today]."""
+    """First-match-wins over the 5 reference formats; bounds [1950, today].
+
+    strptime canonicalization (found by the rule fuzz): Python strips all
+    whitespace first (reference ``.strip()``), matches literal text and
+    month names case-insensitively, and compiles each whitespace run in
+    the format to ``\\s+`` — so "MARCH  5, 2020" parses. Collapse runs and
+    title-case month-bearing candidates so the strict Java formatter sees
+    the canonical form the reference would accept.
+    """
     raw = _s(col)
-    trimmed = F.trim(raw)
+    canon = F.regexp_replace(_strip(raw), "\\s+", " ")
     today = ref_date if ref_date is not None else F.current_date()
 
     def guarded(guard: str, fmt: str) -> Column:
         if fmt == "d-MMM-yy":
-            return F.when(trimmed.rlike(guard), _parse_two_digit_year(trimmed))
-        return F.when(trimmed.rlike(guard), F.to_date(trimmed, fmt))
+            return F.when(canon.rlike(guard), _parse_two_digit_year(canon))
+        if fmt == "MMMM d, yyyy":
+            return F.when(canon.rlike(guard), F.to_date(F.initcap(F.lower(canon)), fmt))
+        return F.when(canon.rlike(guard), F.to_date(canon, fmt))
 
     candidates = [guarded(g, fmt) for g, fmt in DATE_GUARDS]
     parsed = F.coalesce(*candidates)
@@ -259,7 +285,13 @@ def parse_date_time(col: Column | str, ref_ts: Column | None = None) -> RuleColu
     docstring, divergence #2).
     """
     raw = _s(col)
-    trimmed = F.trim(raw)
+    # strptime canonicalization (see parse_date): strip all whitespace,
+    # collapse internal runs (the "yyyy-M-d H:m:s" separator compiles to
+    # \s+ in Python), and accept the case-insensitive literal 't' date/time
+    # separator strptime allows. Lowercase 'z' is NOT normalized — Python's
+    # %z rejects it (verified; the Z branch is case-sensitive).
+    canon = F.regexp_replace(_strip(raw), "\\s+", " ")
+    trimmed = F.regexp_replace(canon, "^([0-9]{4}-[0-9]{1,2}-[0-9]{1,2})t", "$1T")
     now = ref_ts if ref_ts is not None else F.current_timestamp()
     guards = [
         "^[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}T[0-9]{1,2}:[0-9]{1,2}:[0-9]{1,2}$",
