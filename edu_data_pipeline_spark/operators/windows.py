@@ -58,10 +58,15 @@ def hex_prefix_width(
     keep the EXPECTED per-bucket sort at ``target_bucket_rows`` rows
     (md5 prefixes are uniform), with at least ``min_buckets`` buckets so
     the decomposition is exercised even on tiny inputs, capped at
-    ``max_width`` (16^8 ≈ 4.3e9 buckets). Fixing the width at 4 (the r5
-    constant, 65,536 buckets) made a 360k-row corpus pay ~5-rows/bucket
-    overhead (2.1× local slowdown, VERDICT r5 #3); deriving it from a
-    cheap count keeps buckets ~full at every scale:
+    ``max_width`` (16^8 ≈ 4.3e9 buckets). Measured honestly (r6 probe,
+    SCALE.md): width is worth only ~3% locally (w=2 0.619 s vs w=4
+    0.641 s at 360k rows) — the ~1.8× cost vs a naive single window is
+    the decomposition's second upstream pass + join-back, not bucket
+    count, and is the accepted price of bounded sorts. The adaptive
+    width's value is robustness: rows-per-bucket stays ~target at every
+    corpus size instead of collapsing (~5 rows/bucket at 360k with the
+    r5 fixed 65,536) or exploding (16M rows/bucket at 1e12 with 65,536
+    buckets — a single-task-sort regression):
 
         rows      1e5  1e6  1e9   1e12
         width       2    2    5      7

@@ -927,10 +927,11 @@ def epoch_shuffle_positions(
     (`operators.windows.bucketed_running_sum`). The prefix width is
     derived from a cheap corpus row count via
     :func:`operators.windows.hex_prefix_width` (target ~4096 rows per
-    bucket, min 16 buckets) unless ``prefix_width`` pins it — the r5
-    constant 65,536 buckets cost 2.1× locally at ~5 rows/bucket
-    (VERDICT r5 #3). Bit-identical to ``row_number() OVER (PARTITION
-    BY epoch ORDER BY key)`` at ANY width."""
+    bucket, min 16 buckets) unless ``prefix_width`` pins it — width
+    keeps per-task sorts ~constant at any corpus size (a ~3% local
+    effect; see the r6 probe in SCALE.md). Bit-identical to
+    ``row_number() OVER (PARTITION BY epoch ORDER BY key)`` at ANY
+    width."""
     from ..operators.windows import bucketed_running_sum, hex_prefix_width
 
     if prefix_width is None:
@@ -988,8 +989,10 @@ def docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-key epoch window sorted the entire corpus per epoch). The bucket
     width is sized from the parquet footer row count (r6: adaptive
     width, metadata-only — no extra Spark job), so rows-per-bucket
-    stays ~4096 at any corpus size instead of the r5 fixed 65,536
-    buckets (~5 rows/bucket at sf0.1, a 2.1× local overhead)."""
+    stays ~4096 at any corpus size; the width itself is a ~3% local
+    effect (r6 probe in SCALE.md) — the ~1.8×-vs-naive-window local
+    cost is the decomposition's extra pass, accepted for the
+    bounded-sort guarantee."""
     from ..operators.windows import hex_prefix_width
     from ..sources.testdata import metadata_row_count
 
