@@ -108,6 +108,42 @@ SET_VERSION = "r5-53q"
 R03_REFERENCE = "BENCH_r03.json"
 
 
+def _proc_stat() -> tuple[float, float] | None:
+    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
+    line, or None off-Linux. Captured before/after the timed section so
+    every bench row records the host conditions it ran under — the
+    VM-noise band (±10-50% across identical-code runs) is otherwise
+    unattributable from the artifact."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [float(v) for v in parts[1:]]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle+iowait
+        steal = vals[7] if len(vals) > 7 else 0.0
+        return (sum(vals) - idle, steal)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _host_conditions(before: tuple[float, float] | None,
+                     after: tuple[float, float] | None,
+                     wall_s: float) -> dict[str, float]:
+    """Busy/steal CPU fractions over the run (of total machine capacity)
+    plus 1-min loadavg at the end."""
+    out: dict[str, float] = {}
+    try:
+        n_cpu = os.cpu_count() or 1
+        if before and after and wall_s > 0:
+            total_jiffies = wall_s * 100.0 * n_cpu  # USER_HZ=100
+            out["cpu_busy_frac"] = round((after[0] - before[0]) / total_jiffies, 4)
+            out["cpu_steal_frac"] = round((after[1] - before[1]) / total_jiffies, 4)
+        with open("/proc/loadavg") as fh:
+            out["loadavg_1m"] = float(fh.readline().split()[0])
+    except (OSError, ValueError, IndexError):
+        pass
+    return out
+
+
 def _r03_queries() -> dict[str, float]:
     """Per-query timings from the pinned round-3 bench artifact.
 
@@ -147,6 +183,8 @@ def main() -> None:
     # min-of-2 left round-over-round regressions unattributable (r1 #8).
     best: dict[str, float] = {}
     iter_totals: list[float] = []  # per-iteration suite totals (spread evidence)
+    stat_before = _proc_stat()
+    wall_start = time.perf_counter()
     for _ in range(N_RUNS):
         iter_total = 0.0
         for name in names:
@@ -201,6 +239,9 @@ def main() -> None:
         "iter_totals": iter_totals,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),
+        "host": _host_conditions(
+            stat_before, _proc_stat(), time.perf_counter() - wall_start
+        ),
     }
     # Machine-derived shared-set ratio vs the pinned r3 artifact
     # (VERDICT r5 #1): sum of current min-of-N over the query names both
