@@ -238,6 +238,55 @@ def main():
         print(f"connected components, chain L={n}: pointer_jump={r_jump} "
               f"rounds ({t_jump}s); plain min-label={plain} rounds")
 
+    # connected components: giant-component guard (VERDICT r5 #4). A
+    # boilerplate-heavy crawl's near-dup megacluster makes both per-round
+    # join keys hot: hub degree on dst, and — once the megacluster's
+    # label coalesces — the component id on the jump join. Probe on a
+    # star hub (degree K) plus a background of small pairs: (a) the
+    # boundedness invariant — after hot-key removal no key entering a
+    # SHUFFLED join exceeds the threshold, the hot slice is one row per
+    # key so it broadcasts; (b) wall + component-histogram equality with
+    # the guard on vs off.
+    from edu_data_pipeline_spark.operators.graph import _hot_keys
+
+    K, THRESHOLD = 500_000, 10_000
+    verts = spark.range(K + 2_000).select(F.col("id").alias("doc_id"))
+    star = spark.range(1, K + 1).select(
+        F.lit(0).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    pairs = spark.range(K + 2, K + 2_000, 2).select(
+        (F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    sym = symmetrize_edges(star.unionByName(pairs))
+    hot = _hot_keys(sym, "dst", THRESHOLD)
+    n_hot = hot.count()
+    cold_max = (
+        sym.join(F.broadcast(hot), F.col("dst") == F.col("hot_key"), "left_anti")
+        .groupBy("dst").count().select(F.max("count")).first()[0]
+    )
+    assert n_hot >= 1, "hub must be detected hot"
+    assert cold_max <= THRESHOLD, (
+        f"cold-tier key multiplicity {cold_max} exceeds threshold {THRESHOLD}"
+    )
+    results = {}
+    for thr in (None, THRESHOLD):
+        t0 = time.perf_counter()
+        labels, r_used = connected_components(verts, sym, skew_threshold=thr)
+        hist = sorted(
+            (r["n"], r["c"]) for r in labels.groupBy(
+                F.col("component").alias("c")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        results[thr] = (round(time.perf_counter() - t0, 2), r_used, hist)
+    assert results[None][2] == results[THRESHOLD][2], "guard changed labels!"
+    print(
+        f"cc giant-component guard, star K={K} thr={THRESHOLD}: hot_keys={n_hot}, "
+        f"cold-tier max key multiplicity={cold_max} (<= threshold by "
+        f"construction); wall guard-off={results[None][0]}s "
+        f"rounds={results[None][1]}, guard-on={results[THRESHOLD][0]}s "
+        f"rounds={results[THRESHOLD][1]}; component histograms identical"
+    )
+
     # ---- sketch-state boundedness (SCALE.md round-4 table) -------------
     # Bloom bitmap words and CMS counter counts vs input volume: inputs
     # grow ~10x across sf dirs while sketch state stays capped.
