@@ -49,13 +49,12 @@ from .scale_suite import (
     N_HASHES,
     STOPWORDS,
     _SQL_COS_AB,
-    _SQL_LSH_BUCKETS_CTE,
     _SQL_SHINGLES,
     _cosine,
     _distinct_shingles,
     _tokens,
-    embedding_lsh_buckets,
     gram_rows,
+    sql_kmeans_chain,
 )
 
 # ---------------------------------------------------------------------------
@@ -185,27 +184,42 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 2. SemDeDup-style semantic drop list over hyperplane-LSH buckets
+# 2. SemDeDup-style semantic drop list over adaptive k-means clusters
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.32  # cosine threshold for "semantic duplicate"
-# Greedy keep-lowest-id rule: a vector is DROPPED when any LSH-candidate
+# Greedy keep-lowest-id rule: a vector is DROPPED when any same-cluster
 # partner with a smaller vec_id sits within tau. Chains (a~b, b~c, a!~c)
 # drop both b and c — the same greedy order-scan semantics SemDeDup's
 # per-cluster keep-one rule yields under an id-ordered scan.
+#
+# Cluster count scales with the corpus (SemDeDup's own design: cluster
+# first, verify pairs only within a cluster): K = clamp(n // 64, 4,
+# 4096), so expected cluster population stays ~64 and candidate volume
+# stays ~32·n until the K cap, then n²/4096 — vs the previous fixed
+# 6-table × 4-bit hyperplane-LSH whose candidates measured a CONSTANT
+# 32.47% of ALL pairs at BOTH sf0.01 and sf0.1 (scripts/capacity_plan.py
+# exponent alpha = 1.82: sign-LSH cannot prune at tau = 0.32, the
+# retained-pair fraction is set by the angle, not the corpus). Both
+# sides use integer arithmetic only, so Spark (Python) and DuckDB (SQL
+# subquery) derive the same K.
+SEMDEDUP_TARGET_CLUSTER = 64
+SEMDEDUP_MIN_K = 4
+SEMDEDUP_MAX_K = 4096
+
+_SQL_SEMDEDUP_K = (
+    f"(SELECT least(greatest(count(*) // {SEMDEDUP_TARGET_CLUSTER}, "
+    f"{SEMDEDUP_MIN_K}), {SEMDEDUP_MAX_K}) FROM embeddings)"
+)
 
 
 @register(
     "embedding_semantic_dedup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-    buckets AS (
-{_SQL_LSH_BUCKETS_CTE}
-    ), cand AS (
-      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM buckets a JOIN buckets b
-        ON a.table_idx = b.table_idx AND a.bucket = b.bucket
-           AND a.vec_id < b.vec_id
+    WITH {sql_kmeans_chain(_SQL_SEMDEDUP_K)},
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
     ), close AS (
       SELECT c.vec_a, c.vec_b, {_SQL_COS_AB} AS cos
       FROM cand c
@@ -221,44 +235,56 @@ SEMDEDUP_TAU = 0.32  # cosine threshold for "semantic duplicate"
 )
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-duplicate DROP LIST: every vector within cosine
-    SEMDEDUP_TAU of a lower-id LSH-candidate partner, with the kept
-    representative (lowest such partner) and the tightest cosine.
+    SEMDEDUP_TAU of a lower-id partner in the SAME k-means cluster, with
+    the kept representative (lowest such partner) and tightest cosine.
 
-    Candidates come from the shared hyperplane-LSH buckets — never an
-    all-pairs scan — so the cosine verify is candidate-bounded exactly
-    like minhash_verified_pairs' Jaccard verify. The threshold compares
-    the ROUNDED cosine (dround 6) so the keep/drop verdict is
-    bit-identical across engines even for pairs landing on the boundary.
-    Reference parity: none (reference has no embedding surface at all);
-    rule follows the public SemDeDup recipe.
+    The public SemDeDup recipe verbatim: cluster the embedding space
+    (2 exact-decimal Lloyd rounds via `scale_suite.kmeans_assignments`
+    — bit-identical assignments across engines), then compare pairs
+    only within a cluster. K is derived from the corpus row count
+    (footer metadata, no extra job) as clamp(n // 64, 4, 4096): the
+    per-cluster verify is ~population²/2 ≈ 2k pairs, so total candidate
+    volume is ~32·n — linear until the K cap, then n²/4096 (the
+    documented SemDeDup trade; past the cap, raise the cap or accept
+    coarser clusters). Replaces the r4–r5 hyperplane-LSH candidate
+    generator, whose retained-pair fraction at tau = 0.32 measured a
+    constant 32.47% of ALL pairs at both sf scales (alpha = 1.82 in
+    scripts/capacity_plan.py — sign-LSH prunes by angle, and 71° keeps
+    a third of the sphere regardless of corpus size). Worst-case skew
+    (one giant k-means cluster) is the recipe's known limitation and
+    is bounded here by the keep-lowest-id semantics requiring only
+    same-cluster comparisons. The threshold compares the ROUNDED cosine
+    (dround 6) so keep/drop verdicts are bit-identical across engines
+    even on the boundary. Reference parity: none (reference has no
+    embedding surface); rule follows the public SemDeDup recipe.
     """
-    from .scale_suite import _dot
+    from ..sources.testdata import metadata_row_count
+    from .scale_suite import _dot, kmeans_assignments
 
+    n = metadata_row_count(sf_dir, "embeddings")
+    k = min(
+        max(n // SEMDEDUP_TARGET_CLUSTER, SEMDEDUP_MIN_K), SEMDEDUP_MAX_K
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # Persist the assignment frame: both sides of the within-cluster
+    # candidate self-join consume it, and it is the output of the full
+    # 2-round Lloyd pipeline — materializing once keeps the clustering
+    # out of both join branches (the same single-pass fix
+    # brand_basket_lift applies to its basket frame).
+    a2 = persist_tracked(kmeans_assignments(e, k).select("vec_id", "cid"))
+    a, b = a2.alias("a"), a2.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
     # Norms precomputed ONCE per vector instead of per candidate pair:
     # sqrt(dot(v, v)) is the same double either way (identical fold), so
     # the oracle is unchanged, but the verify stage drops two of its
     # three per-pair array folds.
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
     e = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
-    # Persist the bucket frame: both sides of the candidate self-join
-    # consume it, and the 24-hyperplane projection tree (24 x dim literal
-    # coefficients) is expensive to PLAN as much as to run — materializing
-    # it once keeps the big expression out of both join branches (the
-    # same single-pass fix brand_basket_lift applies to its basket frame).
-    buckets = persist_tracked(embedding_lsh_buckets(spark, sf_dir))
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_idx") == F.col("b.table_idx"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
     ea, eb = e.alias("ea"), e.alias("eb")
     cos = _dot(F.col("ea.emb"), F.col("eb.emb")) / (
         F.col("ea.nrm") * F.col("eb.nrm")

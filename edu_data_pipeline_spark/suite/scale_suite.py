@@ -2101,16 +2101,17 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 4
 _EMB_DIMS = 64
 
-_SQL_SQ_DEC = (
-    "CAST(CAST((p.x - c.c) * (p.x - c.c) AS VARCHAR) AS DECIMAL(28,10))"
-)
-
-
-def _sql_kmeans_iter(pts: str, cent: str, out: str) -> str:
-    return f"""
-    j_{out} AS (
-      SELECT p.vec_id, c.cid, sum({_SQL_SQ_DEC}) AS d2
-      FROM {pts} p JOIN {cent} c USING (dim) GROUP BY p.vec_id, c.cid
+def _sql_kmeans_assign(pts: str, cent: str, out: str) -> str:
+    """One assignment round: d2 = |x|² − 2·x·c + |c|² from PRECOMPUTED
+    norms plus one dot product per (vector, centroid) — the identical
+    IEEE scalar combination the Spark side evaluates, over dot products
+    the cosine oracles already prove bit-identical across engines
+    (``list_dot_product`` ≡ the index-order ``aggregate`` fold).
+    Argmin breaks exact-tie doubles by cid."""
+    return f"""j_{out} AS (
+      SELECT p.vec_id, c.cid,
+             (p.nx - 2 * list_dot_product(p.emb, c.carr) + c.nc) AS d2
+      FROM {pts} p CROSS JOIN {cent} c
     ), {out} AS (
       SELECT vec_id, cid, d2 FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
@@ -2119,65 +2120,152 @@ def _sql_kmeans_iter(pts: str, cent: str, out: str) -> str:
     )"""
 
 
-@register(
-    "embedding_kmeans",
-    oracle=f"""
-    WITH pts AS (
-      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, generate_series(1, {_EMB_DIMS}) AS t(i)
-    ), init AS (
-      SELECT vec_id AS cid, dim, x AS c FROM pts WHERE vec_id < {KMEANS_K}
-    ), {_sql_kmeans_iter('pts', 'init', 'a1')}, c1 AS (
+def sql_kmeans_chain(k_expr: str) -> str:
+    """DuckDB CTE chain e/c0/a1/m1/c1/a2 — 2 Lloyd rounds with the
+    centroid count given as a SQL integer expression (a literal for
+    ``embedding_kmeans``, a count-derived scalar subquery for the
+    adaptive-K SemDeDup). Twin of :func:`kmeans_assignments`: distances
+    are deterministic doubles from proven-identical dot-product folds;
+    centroid MEANS stay on the exact string-route decimal sum (order-
+    independent), so the doubles entering round 2 are bit-identical on
+    both engines."""
+    return f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nx
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), c0 AS (
+      SELECT vec_id AS cid, emb AS carr, nx AS nc FROM e WHERE vec_id < {k_expr}
+    ), {_sql_kmeans_assign('e', 'c0', 'a1')}, m1 AS (
       SELECT a1.cid, p.dim,
              CAST(sum(CAST(CAST(p.x AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)
                / count(*) AS c
-      FROM pts p JOIN a1 USING (vec_id) GROUP BY a1.cid, p.dim
-    ), {_sql_kmeans_iter('pts', 'c1', 'a2')}
+      FROM (SELECT vec_id, i - 1 AS dim, emb[i] AS x
+            FROM e, generate_series(1, {_EMB_DIMS}) AS t(i)) p
+      JOIN a1 USING (vec_id) GROUP BY a1.cid, p.dim
+    ), c1 AS (
+      SELECT cid, carr, list_dot_product(carr, carr) AS nc FROM (
+        SELECT cid, list(c ORDER BY dim) AS carr FROM m1 GROUP BY cid
+      )
+    ), {_sql_kmeans_assign('e', 'c1', 'a2')}"""
+
+
+@register(
+    "embedding_kmeans",
+    oracle=f"""
+    WITH {sql_kmeans_chain(str(KMEANS_K))}
     SELECT cid, count(*) AS n_members,
-           {sql_dround('CAST(sum(d2) AS DOUBLE)', 4)} AS inertia
+           {sql_dround(
+               'CAST(sum(CAST(CAST(d2 AS VARCHAR) AS DECIMAL(28,10))) AS DOUBLE)',
+               4,
+           )} AS inertia
     FROM a2 GROUP BY cid
     """,
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2 Lloyd iterations over the embeddings (see section comment);
-    returns per-centroid membership and inertia after iteration 2."""
-    from pyspark.sql import Window
-
-    from . import DEC
-
+    returns per-centroid membership and inertia after iteration 2. The
+    per-vector d2 doubles are bit-identical across engines (see
+    kmeans_assignments), and the cross-member inertia SUM goes through
+    the string-route decimal so it is partial-order-independent."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    pts = e.select("vec_id", F.posexplode("emb").alias("dim", "x"))
+    from . import DEC
 
-    def assign(cent: DataFrame) -> DataFrame:
-        j = pts.alias("p").join(F.broadcast(cent.alias("c")), "dim")
-        sq = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
-        d = j.groupBy("vec_id", "cid").agg(
-            F.sum(sq.cast("string").cast(DEC)).alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2")
-        )
-
-    init = pts.where(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), "dim", F.col("x").alias("c")
-    )
-    a1 = assign(init)
-    c1 = pts.join(a1.select("vec_id", "cid"), "vec_id").groupBy("cid", "dim").agg(
-        (
-            F.sum(F.col("x").cast("string").cast(DEC)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("c")
-    )
-    a2 = assign(c1)
+    a2 = kmeans_assignments(e, KMEANS_K)
     return a2.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
-        dround(F.sum("d2").cast("double"), 4).alias("inertia"),
+        dround(
+            F.sum(F.col("d2").cast("string").cast(DEC)).cast("double"), 4
+        ).alias("inertia"),
     )
+
+
+def kmeans_assignments(e: DataFrame, k: int) -> DataFrame:
+    """(vec_id, cid, d2) after 2 exact-decimal Lloyd rounds over any
+    frame with (vec_id, emb: array<double>); init = the points with
+    vec_id < k. The shared clustering core of ``embedding_kmeans`` and
+    the cluster-bounded SemDeDup (curation_suite) — the decimal
+    string-route distance/mean arithmetic makes assignments
+    bit-identical across engines and partitionings, so both consumers
+    carry hash-exact oracles.
+
+    Assignment is the MLlib shape made declarative: the K centroids
+    travel as a BROADCAST side of a nested-loop join (K rows of
+    array<double> — ≤ a few MB at the 4096-cluster cap, never literal
+    expressions), each vector's K squared distances come MAP-SIDE from
+    d2 = |x|² − 2·x·c + |c|² with both norms precomputed (one proven
+    dot-product fold per pair, the _SQL_COS_AB parity pattern), and the
+    argmin is a ``min(struct(d2, cid))`` hash aggregate whose map-side
+    combine reduces each vector to ONE row before the exchange — the
+    assign shuffle is n rows, independent of K. (The first cut shuffled
+    the per-(vec, cid) distance partials — n·K rows, quadratic once K
+    scales with n: measured alpha 1.79 in scripts/capacity_plan.py;
+    this shape brings the exponent below 1.) The n·K·d distance
+    arithmetic itself is irreducible Lloyd work, embarrassingly
+    parallel and shuffle-free. The centroid-update shuffle is
+    (cid, dim) partials — bounded by K·d per mapper, not by n.
+    Determinism: each dot is an index-order fold (partition-
+    independent), the d2 combination is one fixed IEEE expression, and
+    exact double ties break by cid — so assignments are bit-identical
+    across engines and partitionings without any per-term decimal
+    casts in the hot path (centroid MEANS keep the exact decimal sum:
+    they feed round 2 and must be order-independent)."""
+    from . import DEC
+
+    ev = e.where(F.col("emb").isNotNull()).select(
+        "vec_id", "emb", _dot(F.col("emb"), F.col("emb")).alias("nx")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = (
+            F.col("nx")
+            - 2 * _dot(F.col("emb"), F.col("carr"))
+            + F.col("nc")
+        )
+        scored = ev.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", d2.alias("d2")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cid")).alias("b")
+        )
+        return best.select(
+            "vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2")
+        )
+
+    # .limit(k) on both centroid frames is a no-op row-wise (vec_id is
+    # unique so the filter already yields ≤ k rows; groupBy(cid) yields
+    # ≤ k groups) but it makes the ≤-k bound EXPLICIT in the physical
+    # plan, which is what certifies the broadcast side of the
+    # nested-loop assign join for the plan lint's O(n²) guard.
+    cents0 = (
+        ev.where(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("emb").alias("carr"),
+            F.col("nx").alias("nc"),
+        )
+        .limit(k)
+    )
+    a1 = assign(cents0)
+    pts = ev.select("vec_id", F.posexplode("emb").alias("dim", "x"))
+    c1_dims = (
+        pts.join(a1.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("string").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    c1 = c1_dims.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("carr")
+    )
+    c1 = c1.withColumn("nc", _dot(F.col("carr"), F.col("carr"))).limit(k)
+    return assign(c1)
 
 
 # ---------------------------------------------------------------------------

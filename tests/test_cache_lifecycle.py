@@ -48,7 +48,7 @@ def test_tracked_persists_release_cleanly(spark):
     # and go, i.e. the persistent-RDD count returns to baseline.
     release_caches()
     baseline = spark.sparkContext._jsc.getPersistentRDDs().size()
-    # embedding_semantic_dedup persists its LSH bucket frame;
+    # embedding_semantic_dedup persists its cluster-assignment frame;
     # brand_basket_lift persists its basket frame. Run both, consume,
     # release.
     for name in ("embedding_semantic_dedup", "brand_basket_lift"):

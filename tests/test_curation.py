@@ -160,9 +160,10 @@ def test_semantic_dedup_drop_rules_real(spark):
 
 
 def test_semantic_dedup_crafted_identical_vectors(spark, tmp_path):
-    """Identical vectors always share every LSH bucket, so copies of
-    vec 0 must be dropped against it; an opposite-direction vector
-    (cosine -1) survives."""
+    """Identical vectors land in the same k-means cluster (zero distance
+    to the same centroid, ties broken by lowest cid), so copies of vec 0
+    must be dropped against it; an opposite-direction vector (cosine -1)
+    clusters apart and survives."""
     base = [1.0, 0.5, -0.25, 2.0] * 16  # dim 64
     neg = [-v for v in base]
     rows_in = [

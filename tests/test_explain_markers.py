@@ -93,8 +93,9 @@ def test_bloom_screen_broadcasts_bitmap(spark):
 
 
 def test_semantic_dedup_reuses_persisted_buckets(spark):
-    """Both candidate-join sides must read the PERSISTED bucket frame —
-    the 24-hyperplane projection tree appears once, not per branch."""
+    """Both candidate-join sides must read the PERSISTED cluster-
+    assignment frame — the 2-round Lloyd pipeline appears once, not per
+    branch."""
     plan = _formatted(spark, "embedding_semantic_dedup")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
