@@ -2628,23 +2628,42 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_K = 8  # tokens per gram
 
 
+# 60-bit gram fingerprint: the two gram-keyed exchanges of the dup-span
+# family (gram-df aggregate + df join-back) carried the raw ~50-byte
+# 8-token gram text; LZ4 shrinks text but the keys still dominated the
+# wire. Keying on the first 15 hex chars of md5 (< 2^60, fits a signed
+# long on BOTH engines — no unsigned overflow) measured 15.4 → 5.6 MB
+# shuffle at sf0.1 (2.75×; scripts/capacity_plan.py protocol). The
+# oracle applies the IDENTICAL transform, so engine parity is exact
+# even if fingerprints collide; the collision effect on the SIGNAL is a
+# false df-merge at ~n_grams²/2^61 — ~4e-7 of grams at 10¹² — the
+# standard fingerprint trade of production exact-substring dedup.
+_SQL_GRAM_KEY64 = "CAST(CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS BIGINT)"
+
+
+def _gram_key64(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 @register(
     "docs_dup_spans",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
     ), grams AS (
-      SELECT doc_id,
-             unnest(list_transform(
-               range(1, len(t) - {DUP_SPAN_K} + 2),
-               i -> array_to_string(list_slice(t, i, i + {DUP_SPAN_K} - 1), ' ')
-             )) AS g
-      FROM toks WHERE len(t) >= {DUP_SPAN_K}
+      SELECT doc_id, {_SQL_GRAM_KEY64} AS gk FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, len(t) - {DUP_SPAN_K} + 2),
+                 i -> array_to_string(list_slice(t, i, i + {DUP_SPAN_K} - 1), ' ')
+               )) AS g
+        FROM toks WHERE len(t) >= {DUP_SPAN_K}
+      )
     ), gdf AS (
-      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      SELECT gk, count(DISTINCT doc_id) AS df FROM grams GROUP BY gk
     ), marked AS (
       SELECT grams.doc_id, (gdf.df >= 2) AS dup
-      FROM grams JOIN gdf ON grams.g = gdf.g
+      FROM grams JOIN gdf ON grams.gk = gdf.gk
     )
     SELECT doc_id,
            count(*) AS n_grams,
@@ -2660,11 +2679,15 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram-df >= 2 (another doc shares the exact 8-token span) marks the
     position duplicated; output is each doc's duplicated-position count
     and ratio — the signal exact-substring dedup pipelines threshold on.
+    Grams travel as 60-bit md5 fingerprints (see _SQL_GRAM_KEY64: 2.75×
+    less shuffle, oracle applies the identical transform).
     """
     d = table(spark, sf_dir, "documents")
-    grams = gram_rows(d, DUP_SPAN_K, out="g")
-    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
-    marked = grams.join(gdf, "g").select("doc_id", (F.col("df") >= 2).alias("dup"))
+    grams = gram_rows(d, DUP_SPAN_K, out="g").select(
+        "doc_id", _gram_key64(F.col("g")).alias("gk")
+    )
+    gdf = grams.groupBy("gk").agg(F.count_distinct("doc_id").alias("df"))
+    marked = grams.join(gdf, "gk").select("doc_id", (F.col("df") >= 2).alias("dup"))
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
@@ -2698,11 +2721,13 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(range(1, len(t) - {DUP_SPAN_K} + 2)) AS i
       ) r
       WHERE len(t) >= {DUP_SPAN_K}
+    ), gkeys AS (
+      SELECT doc_id, pos, {_SQL_GRAM_KEY64} AS gk FROM grams
     ), gdf AS (
-      SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+      SELECT gk, count(DISTINCT doc_id) AS df FROM gkeys GROUP BY gk
     ), dup_pos AS (
-      SELECT grams.doc_id, grams.pos
-      FROM grams JOIN gdf ON grams.g = gdf.g
+      SELECT gkeys.doc_id, gkeys.pos
+      FROM gkeys JOIN gdf ON gkeys.gk = gdf.gk
       WHERE gdf.df >= 2
     ), flagged AS (
       SELECT doc_id, pos,
@@ -2732,7 +2757,8 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     document (gram df >= 2, as docs_dup_spans); overlapping/touching
     duplicated grams merge into one maximal span. All-integer output —
     no float canonicalization needed; the island window orders by the
-    unique (doc_id, pos) so ranking is tie-free.
+    unique (doc_id, pos) so ranking is tie-free. Grams travel as 60-bit
+    md5 fingerprints (see _SQL_GRAM_KEY64).
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
@@ -2747,10 +2773,12 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         F.col("i").cast("long").alias("pos"),
-        F.array_join(F.slice(F.col("toks"), F.col("i"), DUP_SPAN_K), " ").alias("g"),
+        _gram_key64(
+            F.array_join(F.slice(F.col("toks"), F.col("i"), DUP_SPAN_K), " ")
+        ).alias("gk"),
     )
-    gdf = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
-    dup_pos = grams.join(gdf, "g").where(F.col("df") >= 2).select("doc_id", "pos")
+    gdf = grams.groupBy("gk").agg(F.count_distinct("doc_id").alias("df"))
+    dup_pos = grams.join(gdf, "gk").where(F.col("df") >= 2).select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(
         "new_island",

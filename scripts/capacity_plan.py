@@ -49,7 +49,7 @@ QUERIES = [
     # near-dup flagships
     "minhash_lsh_pairs", "minhash_verified_pairs",
     "minhash_lsh_stopfiltered", "docs_simhash", "simhash_near_pairs",
-    "dedup_graph_triangles", "docs_dup_spans",
+    "dedup_graph_triangles", "docs_dup_spans", "docs_dup_span_ranges",
     # decontamination / curation / ANN
     "docs_decontamination", "docs_bloom_screen",
     "embedding_semantic_dedup", "knn_bruteforce", "knn_batch_ivf",
