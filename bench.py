@@ -133,8 +133,12 @@ def _host_conditions(before: tuple[float, float] | None,
     out: dict[str, float] = {}
     try:
         n_cpu = os.cpu_count() or 1
+        try:
+            clk_tck = float(os.sysconf("SC_CLK_TCK")) or 100.0
+        except (OSError, ValueError, AttributeError):
+            clk_tck = 100.0  # USER_HZ fallback
         if before and after and wall_s > 0:
-            total_jiffies = wall_s * 100.0 * n_cpu  # USER_HZ=100
+            total_jiffies = wall_s * clk_tck * n_cpu
             out["cpu_busy_frac"] = round((after[0] - before[0]) / total_jiffies, 4)
             out["cpu_steal_frac"] = round((after[1] - before[1]) / total_jiffies, 4)
         with open("/proc/loadavg") as fh:

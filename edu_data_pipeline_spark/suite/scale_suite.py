@@ -2128,7 +2128,15 @@ def sql_kmeans_chain(k_expr: str) -> str:
     are deterministic doubles from proven-identical dot-product folds;
     centroid MEANS stay on the exact string-route decimal sum (order-
     independent), so the doubles entering round 2 are bit-identical on
-    both engines."""
+    both engines.
+
+    Precondition (shared with :func:`kmeans_assignments`): embeddings
+    are fixed-length non-null-element vectors (64-dim in the testdata).
+    A ragged or null-element array does not diverge silently — Spark's
+    ``zip_with`` dot pads with null and yields NULL d2 while DuckDB's
+    ``list_dot_product`` raises — but the failure mode differs per
+    engine, so callers feeding non-curated embedding columns must
+    pre-filter on ``size(emb) = <dim>`` and element non-nullness."""
     return f"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nx

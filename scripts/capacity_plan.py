@@ -84,6 +84,17 @@ def _scanned_bytes(df, sf_dir: str) -> int:
         df.explain(mode="formatted")
     plan = buf.getvalue()
     names = set(re.findall(r"/sf[0-9.]+/(\w+)\.parquet", plan))
+    if not names:
+        # Spark elided/truncated Location paths in the formatted plan —
+        # fall back to the files the plan actually reads so the
+        # denominator never silently collapses to 0.
+        names = {
+            m.group(1)
+            for f in df.inputFiles()
+            if (m := re.search(r"/sf[0-9.]+/(\w+)\.parquet", f))
+        }
+        if not names:
+            print(f"    [capacity_plan] WARNING: no scanned tables found in plan")
     total = 0
     for n in names:
         p = pathlib.Path(sf_dir) / f"{n}.parquet"
