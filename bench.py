@@ -134,7 +134,9 @@ def _host_conditions(before: tuple[float, float] | None,
     try:
         n_cpu = os.cpu_count() or 1
         try:
-            clk_tck = float(os.sysconf("SC_CLK_TCK")) or 100.0
+            clk_tck = float(os.sysconf("SC_CLK_TCK"))
+            if clk_tck <= 0:  # sysconf may return -1 (indeterminate)
+                clk_tck = 100.0
         except (OSError, ValueError, AttributeError):
             clk_tck = 100.0  # USER_HZ fallback
         if before and after and wall_s > 0:

@@ -97,9 +97,18 @@ def apply_merge(syms: Column, a: str, b: str) -> Column:
 
 def learn_bpe(docs: DataFrame, n_merges: int) -> list[dict]:
     """Learn ``n_merges`` BPE merges; returns them in application order
-    as dicts (rank, left, right, merged, pair_count)."""
+    as dicts (rank, left, right, merged, pair_count).
+
+    Checkpoint lifecycle (VERDICT r7 #2): each periodic lineage-cut is an
+    EAGER tracked checkpoint, and the previous one is freed as soon as
+    its successor is materialized — at most one checkpoint of the
+    word-type table is ever live, and none survives the return (the
+    merge list is plain driver data)."""
+    from ..caches import local_checkpoint
+
     types = word_types(docs)
     out: list[dict] = []
+    handle = None
     for rank in range(1, n_merges + 1):
         best = top_pair(types)
         if best is None:
@@ -118,7 +127,12 @@ def learn_bpe(docs: DataFrame, n_merges: int) -> list[dict]:
             "word", "n", apply_merge(F.col("syms"), a, b).alias("syms")
         )
         if rank % CHECKPOINT_EVERY == 0:
-            types = types.localCheckpoint(eager=False)
+            types, new_handle = local_checkpoint(types, eager=True)
+            if handle is not None:
+                handle.release()  # successor materialized — safe to free
+            handle = new_handle
+    if handle is not None:
+        handle.release()
     return out
 
 

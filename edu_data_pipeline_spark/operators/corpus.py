@@ -110,25 +110,30 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     silently returns) if ``max_iters`` is exhausted before the fixpoint —
     use :func:`edu_data_pipeline_spark.operators.graph.connected_components`
     (pointer-jumping, O(log diameter)) for graphs with long chains."""
+    from ..caches import local_checkpoint, track_checkpoint
+
     sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    labels = (
+    # Tracked checkpoints (VERDICT r7 #2): the superseded round's
+    # checkpoint is freed once the next round's is materialized and the
+    # convergence count has read the old labels — ≤2 live at any time;
+    # the final one backs the returned lazy frame, so it goes to the
+    # global registry for release_caches().
+    labels, live_handle = local_checkpoint(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iters):
         neigh = sym.join(
             labels, sym["src"] == labels["doc_id"]
         ).select(F.col("dst").alias("doc_id"), F.col("comp"))
-        new = (
+        new, h_new = local_checkpoint(
             labels.unionByName(neigh)
             .groupBy("doc_id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -136,9 +141,12 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        live_handle.release()
+        live_handle = h_new
         labels = new
         if changed == 0:
             break
+    track_checkpoint(live_handle)
     if changed != 0:
         import warnings
 

@@ -136,23 +136,44 @@ def connected_components(
     Labels are bit-identical either way; pick a threshold above the
     per-task row count you can sort/join comfortably (e.g. 2**21).
     """
-    sym = sym_edges.localCheckpoint()  # freeze (possibly expensive) lineage
+    # Checkpoint lifecycle (VERDICT r7 #2): every localCheckpoint here is
+    # a handle-owning tracked checkpoint. The static ones (edge list and
+    # its hot/cold split) are freed when the loop ends; each round's
+    # checkpoint is freed as soon as the NEXT round's is materialized
+    # (eager) and the convergence count has consumed the old labels — so
+    # live per-round checkpoints never exceed 2 regardless of round
+    # count (proven by tests/test_cache_lifecycle.py's storage probe).
+    # The two that back the RETURNED lazy frame (the active set, which
+    # the isolated-vertex anti-join reads, and the final labels) go to
+    # the global registry for the harness's release_caches().
+    from ..caches import local_checkpoint, track_checkpoint
+
+    sym, h_sym = local_checkpoint(sym_edges)  # freeze (possibly expensive) lineage
+    static_handles = [h_sym]
     verts = vertices.select(F.col(vertex_col).alias("doc_id"))
     # Only edge-touching vertices can ever change labels; at corpus scale
     # the overwhelming majority of documents are in NO near-dup pair, so
     # looping over all of them would pay |V| join rows per round for
     # vertices whose component is trivially themselves. Restrict the loop
     # to the active set and union the isolated vertices back at the end.
-    active = sym.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
+    active, h_active = local_checkpoint(
+        sym.select(F.col("src").alias("doc_id")).distinct()
+    )
     isolated = verts.join(active, "doc_id", "left_anti")
     labels = active.select("doc_id", F.col("doc_id").alias("component"))
     # Hot dst keys (hub degree) are a property of the static edge list —
     # detect once, pre-split the edge list once.
     if skew_threshold is not None:
-        hot_dst = _hot_keys(sym, "dst", skew_threshold).localCheckpoint()
+        hot_dst, h_hot = local_checkpoint(_hot_keys(sym, "dst", skew_threshold))
         on_hot = F.col("dst") == F.col("hot_key")
-        sym_hot = sym.join(F.broadcast(hot_dst), on_hot, "left_semi").localCheckpoint()
-        sym_cold = sym.join(F.broadcast(hot_dst), on_hot, "left_anti").localCheckpoint()
+        sym_hot, h_sh = local_checkpoint(
+            sym.join(F.broadcast(hot_dst), on_hot, "left_semi")
+        )
+        sym_cold, h_sc = local_checkpoint(
+            sym.join(F.broadcast(hot_dst), on_hot, "left_anti")
+        )
+        static_handles += [h_hot, h_sh, h_sc]
+    live_handle = None  # backs the current `labels` frame
     rounds = 0
     changed = 0
     for _ in range(max_rounds):
@@ -181,6 +202,7 @@ def connected_components(
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("component"),
         )
+        h_mid = None
         if pointer_jump:
             # label(v) <- label(label(v)): labels are vertex ids, so the
             # lookup is a self-join; composing the contraction with the
@@ -192,7 +214,7 @@ def connected_components(
                 # every round (the megacluster label emerges as rounds
                 # coalesce — static detection would miss it and the
                 # first skewed round is the one that OOMs).
-                updated = updated.localCheckpoint()
+                updated, h_mid = local_checkpoint(updated)
             jump = updated.select(
                 F.col("doc_id").alias("j_id"), F.col("component").alias("j_comp")
             )
@@ -207,16 +229,27 @@ def connected_components(
                 "doc_id",
                 F.coalesce(F.col("j_comp"), F.col("component")).alias("component"),
             )
-        updated = updated.localCheckpoint()  # cut per-round lineage growth
+        # Cut per-round lineage growth; eager, so once this returns the
+        # mid-round checkpoint is superseded and freed immediately.
+        updated, h_new = local_checkpoint(updated)
+        if h_mid is not None:
+            h_mid.release()
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")
             .where(F.col("u.component") != F.col("l.component"))
             .count()
         )
+        # The convergence count was the last reader of the previous
+        # round's labels — free that checkpoint now.
+        if live_handle is not None:
+            live_handle.release()
+        live_handle = h_new
         labels = updated
         if changed == 0:
             break
+    for h in static_handles:
+        h.release()  # edge list + hot split: loop-only, labels are frozen
     if changed != 0:
         msg = (
             f"connected_components exhausted max_rounds={max_rounds} with "
@@ -231,4 +264,9 @@ def connected_components(
     )
     if vertex_col != "doc_id":
         labels = labels.withColumnRenamed("doc_id", vertex_col)
+    # These two back the returned lazy frame — the harness's
+    # release_caches() frees them after the result is consumed.
+    track_checkpoint(h_active)
+    if live_handle is not None:
+        track_checkpoint(live_handle)
     return labels, rounds

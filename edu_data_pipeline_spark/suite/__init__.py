@@ -55,43 +55,20 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Cache lifecycle (VERDICT r4 #2/#6).
-#
-# Registry queries return LAZY DataFrames, so a query that persists an
-# intermediate (shared by several consumers in its plan) cannot unpersist
-# it before returning — the cache must survive until the caller consumes
-# the result. Left unreleased, those cached partitions accumulate across a
-# long session (the bench runs 50+ queries x 3 iterations) and squeeze
-# executor memory for every later query, corrupting round-over-round
-# timings. Convention: suite code NEVER calls .persist()/.cache() directly
-# (lint-enforced by tests/test_cache_lifecycle.py); it calls
-# persist_tracked(), and every harness (bench, parity sweep, stress sweep,
-# compare_query) calls release_caches() after consuming each query's
-# output.
+# Cache lifecycle (VERDICT r4 #2/#6, r7 #2): the registries and the
+# tracked-checkpoint machinery live in edu_data_pipeline_spark.caches
+# (operators need them too, and operators must not import the suite);
+# re-exported here because every harness and suite module imports them
+# from this package.
 # ---------------------------------------------------------------------------
 
-_TRACKED_CACHES: list[DataFrame] = []
-
-
-def persist_tracked(df: DataFrame) -> DataFrame:
-    """Persist an intermediate frame and record it for post-consumption
-    release. Returns the same (now-persisted) DataFrame."""
-    df.persist()
-    _TRACKED_CACHES.append(df)
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every frame persisted via :func:`persist_tracked` since
-    the last release. Call after the query's output has been consumed
-    (collected / written); safe to call repeatedly or with nothing
-    tracked."""
-    while _TRACKED_CACHES:
-        df = _TRACKED_CACHES.pop()
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped: nothing to release
+from ..caches import (  # noqa: F401,E402
+    _TRACKED_CACHES,
+    local_checkpoint,
+    persist_tracked,
+    release_caches,
+    track_checkpoint,
+)
 
 
 def register(name: str, oracle: str | None = None):

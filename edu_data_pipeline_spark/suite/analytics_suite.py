@@ -883,6 +883,36 @@ def approx_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_stats_exact",
+    oracle=f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           {sql_dround("quantile_cont(value, 0.5)", 6)} AS p50,
+           {sql_dround("quantile_cont(value, 0.9)", 6)} AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def user_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-checkable twin of ``approx_user_stats``
+    (VERDICT r7 #4): the sketch query is rows-only by design (HLL and
+    KLL internals are engine-specific), so this sibling computes the
+    SAME grouping with exact distinct counts and exact interpolated
+    percentiles — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the (n−1)·p linear-interpolation definition, rounded through
+    the deterministic string→decimal route on both sides. The sketch's
+    accuracy corridor vs these exact values is locked separately by
+    tests/test_sketch_corridor.py. Scale note: exact percentile sorts
+    per group in the SQL aggregate — fine for a bounded event-type
+    domain; at 100 TB the approx sibling is the production path."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        dround(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        dround(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operators: INTERSECT / EXCEPT (beyond the reference's UNION ALL)
 # ---------------------------------------------------------------------------

@@ -40,20 +40,36 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from edu_data_pipeline_spark.session import get_spark
 from edu_data_pipeline_spark.suite import load_all, release_caches
 
+# Every bench headline + calibration query (VERDICT r7 #3: the full
+# bench set gets a measured alpha, not just the 23 flagships), plus
+# docs_token_budget_mix (flagship not in the bench set).
 QUERIES = [
     # warehouse / analytics
     "pricing_summary", "region_revenue", "customer_360",
     "supplier_late_blame", "events_user_summary", "user_sessions",
+    "top_orders", "top_customer_per_nation", "daily_metrics",
+    "events_hourly", "risk_scores", "revenue_rollup", "user_value_ranks",
+    "large_orders", "daily_revenue_rolling", "events_grouping_sets",
+    "nation_trade_volume", "user_funnel", "events_range_join",
+    "returned_revenue_customers", "customer_rfm_segments",
+    "event_transition_matrix", "events_ks_test",
+    "events_lateness_profile", "user_stats_exact",
     # cleaning + exact dedup
-    "clean_dates", "dedup_keep_last", "docs_exact_dedup",
+    "clean_dates", "clean_student_ids", "clean_cities",
+    "dedup_keep_last", "docs_exact_dedup", "docs_incremental_dedup",
     # near-dup flagships
     "minhash_lsh_pairs", "minhash_verified_pairs",
-    "minhash_lsh_stopfiltered", "docs_simhash", "simhash_near_pairs",
-    "dedup_graph_triangles", "docs_dup_spans", "docs_dup_span_ranges",
+    "minhash_lsh_stopfiltered", "minhash_band_sweep", "docs_simhash",
+    "simhash_near_pairs", "dedup_graph_triangles", "docs_dup_spans",
+    "docs_dup_span_ranges",
     # decontamination / curation / ANN
     "docs_decontamination", "docs_bloom_screen",
     "embedding_semantic_dedup", "knn_bruteforce", "knn_batch_ivf",
-    "docs_epoch_order", "docs_token_budget_mix",
+    "knn_ivf_multiprobe", "docs_epoch_order", "docs_token_budget_mix",
+    "docs_contamination_frac", "source_minhash_overlap",
+    "docs_cms_term_freq", "docs_continuation_pairs",
+    "docs_unigram_logprob", "docs_cdc_chunks", "docs_length_buckets",
+    "docs_pack_sequences",
 ]
 
 TARGET_INPUT_BYTES = 100e12  # 100 TB
@@ -94,7 +110,7 @@ def _scanned_bytes(df, sf_dir: str) -> int:
             if (m := re.search(r"/sf[0-9.]+/(\w+)\.parquet", f))
         }
         if not names:
-            print(f"    [capacity_plan] WARNING: no scanned tables found in plan")
+            print("    [capacity_plan] WARNING: no scanned tables found in plan")
     total = 0
     for n in names:
         p = pathlib.Path(sf_dir) / f"{n}.parquet"
