@@ -167,14 +167,17 @@ def read_with_corrupt_routing(
         [T.StructField(c, T.StringType()) for c in required_columns]
         + [T.StructField("_corrupt_record", T.StringType())]
     )
-    df = (
+    from ..caches import persist_tracked
+
+    df = persist_tracked(  # required: corrupt-record column cannot be
+        # filtered per-query without materializing the parse (Spark
+        # constraint); tracked so release_caches() frees it after the
+        # caller consumes both branches
         spark.read.option("header", True)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema)
         .csv(path)
-        .cache()  # required: corrupt-record column cannot be filtered on a
-        # per-query basis without materializing the parse (Spark constraint)
     )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(

@@ -37,7 +37,10 @@ def read_jsonl_with_dlq(
     full = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    df = (
+    from ..caches import persist_tracked
+
+    df = persist_tracked(  # tracked so release_caches() frees it after
+        # the caller consumes both branches
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(full)
@@ -48,7 +51,6 @@ def read_jsonl_with_dlq(
         .withColumn(
             "file_name", F.element_at(F.split(F.input_file_name(), "/"), -1)
         )
-        .cache()
     )
     good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(

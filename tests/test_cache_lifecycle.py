@@ -51,12 +51,18 @@ def _offending_lines(paths, needles, allow_in=()):
 
 
 def test_no_untracked_persist_in_suite():
-    offenders = _offending_lines(
-        sorted(SUITE_DIR.glob("*.py")), (".persist(", ".cache(")
+    # suite/ and sources/ return lazy frames to harnesses, so their
+    # caches must be releasable. streaming/jobs.py is exempt: its
+    # persists are scoped inside foreachBatch bodies that unpersist the
+    # same batch before returning.
+    paths = sorted(SUITE_DIR.glob("*.py")) + sorted(
+        (PKG_DIR / "sources").glob("*.py")
     )
+    offenders = _offending_lines(paths, (".persist(", ".cache("))
     assert not offenders, (
-        "direct persist/cache in suite code — use caches.persist_tracked() "
-        "so harnesses can release it:\n" + "\n".join(offenders)
+        "direct persist/cache in suite/sources code — use "
+        "caches.persist_tracked() so harnesses can release it:\n"
+        + "\n".join(offenders)
     )
 
 
