@@ -49,9 +49,11 @@ from .scale_suite import (
     N_HASHES,
     STOPWORDS,
     _SQL_COS_AB,
+    _SQL_GRAM_KEY64,
     _SQL_SHINGLES,
     _cosine,
     _distinct_shingles,
+    _gram_key64,
     _tokens,
     gram_rows,
     sql_kmeans_chain,
@@ -412,12 +414,12 @@ CONTAM_FRAC_T = 0.10  # >10% of a doc's grams in eval => contaminated
       FROM toks
       WHERE len(t) >= {CONTAM_GRAM_K}
     ), grams AS (
-      SELECT DISTINCT doc_id, source, g FROM grams_raw
+      SELECT DISTINCT doc_id, source, {_SQL_GRAM_KEY64} AS gk FROM grams_raw
     ), eval_g AS (
-      SELECT DISTINCT g FROM grams WHERE source = '{DECON_EVAL_SOURCE}'
+      SELECT DISTINCT gk FROM grams WHERE source = '{DECON_EVAL_SOURCE}'
     ), probe AS (
-      SELECT gr.doc_id, gr.g, ev.g IS NOT NULL AS hit
-      FROM grams gr LEFT JOIN eval_g ev ON gr.g = ev.g
+      SELECT gr.doc_id, gr.gk, ev.gk IS NOT NULL AS hit
+      FROM grams gr LEFT JOIN eval_g ev ON gr.gk = ev.gk
       WHERE gr.source <> '{DECON_EVAL_SOURCE}'
     ), frac AS (
       SELECT doc_id,
@@ -440,23 +442,32 @@ def docs_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict rows too — docs_decontamination's inner-join count is the
     flag-only twin. Scale shape identical to every gram screen here:
     shuffle-free gram generation, tiny broadcast eval side, one hash agg.
+
+    r8 shuffle-constant fix (capacity plan: this was the registry's
+    widest constant at sh/in 27.3): grams now travel as 60-bit md5
+    fingerprints (the dup-span family's _SQL_GRAM_KEY64 transform — the
+    oracle applies the identical one, so parity is exact even under
+    collisions), and ``source`` rides the gram explode instead of a
+    gram-volume join back to documents. Distinct-gram counts are
+    fingerprint-distinct on BOTH engines; a collision folds ~n²/2^61 of
+    gram pairs — the standard trade, documented at the dup-span site.
     """
     d = table(spark, sf_dir, "documents")
     # gram_rows already filters docs shorter than the gram length
     grams = (
-        gram_rows(d, CONTAM_GRAM_K, out="g")
+        gram_rows(d, CONTAM_GRAM_K, out="g", carry=("source",))
+        .select("doc_id", "source", _gram_key64(F.col("g")).alias("gk"))
         .distinct()
-        .join(d.select("doc_id", "source"), "doc_id")
     )
     eval_g = (
         grams.where(F.col("source") == DECON_EVAL_SOURCE)
-        .select("g")
+        .select("gk")
         .distinct()
         .withColumn("hit", F.lit(True))
     )
     probe = (
         grams.where(F.col("source") != DECON_EVAL_SOURCE)
-        .join(F.broadcast(eval_g), "g", "left")
+        .join(F.broadcast(eval_g), "gk", "left")
     )
     frac = probe.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),

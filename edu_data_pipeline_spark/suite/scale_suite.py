@@ -296,8 +296,16 @@ _SQL_SHINGLES = """
 """
 
 
-def gram_rows(d: DataFrame, k: int, out: str = "s") -> DataFrame:
-    """(doc_id, k-token gram) rows, WITH duplicates, shuffle-free.
+def gram_rows(
+    d: DataFrame, k: int, out: str = "s", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [*carry,] k-token gram) rows, WITH duplicates, shuffle-free.
+
+    ``carry`` threads extra per-document columns (e.g. ``source``)
+    through the explode so consumers that need them avoid a
+    gram-volume join back to the documents table — per-doc attributes
+    ride the Generate for free, while a join would shuffle every gram
+    row on doc_id.
 
     explode(start positions) + slice on the token ARRAY: the Generate
     (explode) materializes the token array once per document row, so the
@@ -314,15 +322,18 @@ def gram_rows(d: DataFrame, k: int, out: str = "s") -> DataFrame:
     Duplicates are kept: MinHash minima are set-invariant; set consumers
     call ``.distinct()`` (one hash shuffle, O(n log n)).
     """
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= k
-    )
+    toks = d.select(
+        "doc_id", *carry, _tokens(F.col("text")).alias("toks")
+    ).where(F.size("toks") >= k)
     return toks.select(
         "doc_id",
+        *carry,
         F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
         "toks",
     ).select(
-        "doc_id", F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ").alias(out)
+        "doc_id",
+        *carry,
+        F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ").alias(out),
     )
 
 
