@@ -53,6 +53,7 @@ from .scale_suite import (
     _SQL_SHINGLES,
     _cosine,
     _distinct_shingles,
+    _distinct_shingles_with_source,
     _gram_key64,
     _tokens,
     gram_rows,
@@ -117,7 +118,7 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (combiner-friendly), the join is trivially broadcast.
     """
     d = table(spark, sf_dir, "documents")
-    sh = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    sh = _distinct_shingles_with_source(d)  # source rides the explode (r8)
     m = F.md5(F.col("s"))
     halves = sh.select(
         "source",
@@ -644,7 +645,7 @@ def docs_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     all.
     """
     d = table(spark, sf_dir, "documents")
-    tagged = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    tagged = _distinct_shingles_with_source(d)  # source rides the explode (r8)
     bloom = bloom_bitmap(tagged.where(F.col("source") == DECON_EVAL_SOURCE))
     per_gram = bloom_gram_flags(
         tagged.where(F.col("source") != DECON_EVAL_SOURCE), bloom

@@ -337,6 +337,18 @@ def gram_rows(
     )
 
 
+def _sql_key64(col: str) -> str:
+    """DuckDB twin of :func:`_gram_key64` over an arbitrary column."""
+    return f"CAST(CAST('0x' || substr(md5({col}), 1, 15) AS UBIGINT) AS BIGINT)"
+
+
+_SQL_GRAM_KEY64 = _sql_key64("g")
+
+
+def _gram_key64(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _shingle_rows(d: DataFrame) -> DataFrame:
     """(doc_id, shingle) rows of word-3-grams, WITH duplicates."""
     return gram_rows(d, 3)
@@ -345,6 +357,29 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
 def _distinct_shingles(d: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs for set semantics."""
     return _shingle_rows(d).distinct()
+
+
+def _distinct_shingle_keys(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sk) 60-bit shingle fingerprints — the exact-
+    Jaccard verify currency (r8). The verify equi-joins and the distinct
+    exchange itself carry 8-byte longs instead of ~20-byte shingle
+    strings; n_sh / n_common become fingerprint-distinct on BOTH engines
+    (the oracle applies the identical _sql_key64 transform, so parity is
+    exact even under collisions — the dup-span trade, ~n^2/2^61 folds)."""
+    return (
+        _shingle_rows(d)
+        .select("doc_id", _gram_key64(F.col("s")).alias("sk"))
+        .distinct()
+    )
+
+
+def _distinct_shingles_with_source(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, source, shingle) rows — ``source`` rides the
+    gram explode (r8): functionally dependent on doc_id, so the distinct
+    cardinality is identical to ``_distinct_shingles``, while the old
+    ``join(documents, doc_id)`` shuffled every gram row a second time
+    just to fetch one per-document attribute."""
+    return gram_rows(d, 3, out="s", carry=("source",)).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +547,43 @@ def _stop_filtered_shingles(d: DataFrame) -> DataFrame:
     return ex.join(F.broadcast(stop), "s", "left_anti")
 
 
+# Absolute df cap for SHINGLE-SELF-JOIN candidate generation (r8, found
+# by the capacity plan: docs_jaccard_top_pairs measured alpha 1.19). The
+# relative 1% stop-filter above is right for cleaning SIGNATURES, but a
+# relative cap re-admits the quadratic in a pair self-join: surviving
+# shingle groups grow with the corpus, so pairs grow ~ (n/100)^2. Pair
+# generation therefore additionally requires df <= PAIR_DF_CAP, bounding
+# candidates at C^2/2 pairs per shingle — linear in vocabulary, scale-
+# free. Recall trade: a near-dup pair is missed only if EVERY shared
+# shingle sits in >32 documents — for genuine near-dups (many shared
+# low-df shingles) this is the standard, documented screen; the banded
+# MinHash family remains the recall-characterized production path.
+PAIR_DF_CAP = 32
+
+
+def _pair_shingles(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, s) restricted to pair-generation shingles:
+    df <= least(greatest(5, 1% of docs), PAIR_DF_CAP). Like the stop
+    list, the VIOLATOR set broadcasts (shingles repeated across >32
+    docs — Zipf-bounded, a vanishing fraction of the vocabulary) and
+    the big side anti-joins shuffle-free."""
+    ex = _distinct_shingles(d)
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        dfreq.crossJoin(F.broadcast(total))
+        .where(
+            F.col("df_docs")
+            > F.least(
+                F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100")),
+                F.lit(PAIR_DF_CAP),
+            )
+        )
+        .select("s")
+    )
+    return ex.join(F.broadcast(stop), "s", "left_anti")
+
+
 _SQL_KEPT_SHINGLES = f"""
     dfreq AS (
       SELECT s, count(*) AS df_docs FROM exploded GROUP BY s
@@ -573,16 +645,23 @@ def minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
 {_SQL_KEPT_SHINGLES},
-    cand AS (
+    pair_sh AS (
+      SELECT e.doc_id, e.s
+      FROM exploded e JOIN dfreq d ON e.s = d.s CROSS JOIN tot
+      WHERE d.df_docs <= least(greatest({STOP_DF_FLOOR}, n_docs // 100),
+                               {PAIR_DF_CAP})
+    ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM pair_sh a JOIN pair_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
@@ -597,17 +676,21 @@ def minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-Jaccard top-20 pairs, df-capped candidate generation.
 
-    Candidates come from the >1%-document-frequency-capped shingle
-    self-join (pairs must share at least one DISTINCTIVE shingle), so a
-    boilerplate shingle shared by k docs can no longer contribute k² join
-    rows on a templated corpus (VERDICT r2 #1). The Jaccard itself is
+    Candidates come from the df-capped shingle self-join (pairs must
+    share at least one DISTINCTIVE shingle), so a boilerplate shingle
+    shared by k docs can no longer contribute k² join rows on a
+    templated corpus (VERDICT r2 #1). r8: the cap is now ABSOLUTE
+    (df <= least(1% of docs, PAIR_DF_CAP=32)) — the capacity plan
+    measured alpha 1.19 under the relative-only cap because surviving
+    shingle groups grow with the corpus, re-admitting the quadratic;
+    see _pair_shingles for the recall trade. The Jaccard itself is
     then computed EXACTLY over the FULL shingle sets, but only for the
     candidate pairs — verify cost is |candidates|-bounded, the same
     shape as minhash_verified_pairs. Pairs whose overlap is pure
     template boilerplate are by construction not near-dup candidates.
     """
     d = table(spark, sf_dir, "documents")
-    kept = _stop_filtered_shingles(d)
+    kept = _pair_shingles(d)  # absolute df cap for pair generation (r8)
     ka = kept.alias("ka")
     kb = kept.alias("kb")
     cand = (
@@ -621,13 +704,13 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    exploded = _distinct_shingles(d)
+    exploded = _distinct_shingle_keys(d)  # 8-byte verify keys (r8)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.sk") == F.col("a.sk")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -666,13 +749,15 @@ MINHASH_VERIFY_J = 0.5  # exact-Jaccard acceptance threshold on candidates
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
@@ -694,13 +779,13 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding/signature stages are shared with minhash_lsh_pairs."""
     d = table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(spark, sf_dir)
-    exploded = _distinct_shingles(d)
+    exploded = _distinct_shingle_keys(d)  # 8-byte verify keys (r8)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.sk") == F.col("a.sk")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -736,13 +821,15 @@ _SQL_COMPONENT_CTES = f"""
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     ), edges AS (
       SELECT doc_a, doc_b FROM common
@@ -1657,13 +1744,14 @@ DECON_EVAL_SOURCE = "src0"  # stand-in benchmark/eval source
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ), tagged AS (
-      SELECT e.doc_id, e.s, d.source FROM exploded e
+      SELECT DISTINCT e.doc_id, d.source, {_sql_key64('e.s')} AS sk
+      FROM exploded e
       JOIN documents d ON d.doc_id = e.doc_id
     ), eval_sh AS (
-      SELECT DISTINCT s FROM tagged WHERE source = '{DECON_EVAL_SOURCE}'
+      SELECT DISTINCT sk FROM tagged WHERE source = '{DECON_EVAL_SOURCE}'
     )
-    SELECT t.doc_id, count(DISTINCT t.s) AS n_shared_shingles
-    FROM tagged t JOIN eval_sh ev ON t.s = ev.s
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM tagged t JOIN eval_sh ev ON t.sk = ev.sk
     WHERE t.source <> '{DECON_EVAL_SOURCE}'
     GROUP BY t.doc_id
     """,
@@ -1675,20 +1763,33 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the eval set is tiny relative to the corpus, so its
     distinct shingle set BROADCASTS and the screen is a map-side semi
     join over the training corpus — one linear pass, no shuffle on the
-    big side (the standard decontamination pass before training)."""
+    big side (the standard decontamination pass before training).
+
+    r8: shingles travel as 60-bit md5 fingerprints (the dup-span
+    transform — the oracle applies the identical one, so parity is
+    exact under collisions) and ``source`` rides the gram explode;
+    before, the distinct exchange carried raw shingle strings and a
+    second gram-volume join fetched source — a join that BROADCAST
+    locally (hiding its cost from the byte counters) but would shuffle
+    the full gram stream against the 100 TB documents side at scale.
+    The shared count is fingerprint-distinct on both engines (collision
+    fold ~n²/2^61, the documented trade)."""
     d = table(spark, sf_dir, "documents")
-    # source rides a co-partitioned shuffle join (doc_id) — NOT a
-    # broadcast: documents is the 100 TB side. Only the eval shingle set
-    # (tiny by construction) broadcasts.
-    ex = _distinct_shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    ex = (
+        gram_rows(d, 3, out="s", carry=("source",))
+        .select("doc_id", "source", _gram_key64(F.col("s")).alias("sk"))
+        .distinct()
+    )
     eval_sh = (
-        ex.where(F.col("source") == DECON_EVAL_SOURCE).select("s").distinct()
+        ex.where(F.col("source") == DECON_EVAL_SOURCE).select("sk").distinct()
     )
     train = ex.where(F.col("source") != DECON_EVAL_SOURCE)
+    # ex is already distinct per (doc_id, sk), so the per-doc shared
+    # count is a plain count — no second distinct expansion.
     return (
-        train.join(F.broadcast(eval_sh), "s")
+        train.join(F.broadcast(eval_sh), "sk")
         .groupBy("doc_id")
-        .agg(F.count_distinct("s").alias("n_shared_shingles"))
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 
 
@@ -2657,13 +2758,6 @@ DUP_SPAN_K = 8  # tokens per gram
 # even if fingerprints collide; the collision effect on the SIGNAL is a
 # false df-merge at ~n_grams²/2^61 — ~4e-7 of grams at 10¹² — the
 # standard fingerprint trade of production exact-substring dedup.
-_SQL_GRAM_KEY64 = "CAST(CAST('0x' || substr(md5(g), 1, 15) AS UBIGINT) AS BIGINT)"
-
-
-def _gram_key64(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-
-
 @register(
     "docs_dup_spans",
     oracle=f"""
@@ -3150,13 +3244,15 @@ _SQL_SIG_AGREE = " + ".join(
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     ), agree AS (
       SELECT c.doc_a, c.doc_b, ({_SQL_SIG_AGREE}) AS n_agree
@@ -3181,13 +3277,13 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sigs = minhash_signatures_df(d)
     cand = _band_pairs(sigs)
-    exploded = _distinct_shingles(d)
+    exploded = _distinct_shingle_keys(d)  # 8-byte verify keys (r8)
     sizes = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (
         cand.join(a, cand.doc_a == F.col("a.doc_id"))
-        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.s") == F.col("a.s")))
+        .join(b, (cand.doc_b == F.col("b.doc_id")) & (F.col("b.sk") == F.col("a.sk")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -3672,13 +3768,15 @@ def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_key = b.band_key
            AND a.doc_id < b.doc_id
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM cand c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     ), verified AS (
       SELECT doc_a, doc_b,
@@ -4542,13 +4640,15 @@ _SQL_SWEEP_SSTAR = " ".join(
 {_SQL_SWEEP_CANDS}
     ), distinct_pairs AS (
       SELECT DISTINCT doc_a, doc_b FROM cands
+    ), exploded_k AS (
+      SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
-      SELECT doc_id, len(shingles) AS n_sh FROM sh
+      SELECT doc_id, count(*) AS n_sh FROM exploded_k GROUP BY doc_id
     ), common AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
       FROM distinct_pairs c
-      JOIN exploded a ON a.doc_id = c.doc_a
-      JOIN exploded b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN exploded_k a ON a.doc_id = c.doc_a
+      JOIN exploded_k b ON b.doc_id = c.doc_b AND b.sk = a.sk
       GROUP BY c.doc_a, c.doc_b
     ), jac AS (
       SELECT m.doc_a, m.doc_b,
@@ -4583,7 +4683,7 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = persist_tracked(_sigs_from_shingle_rows(_shingle_rows(d)))
     # the distinct shingle frame feeds sizes + both sides of the common
     # join; persist so the gram pipeline runs once, not three times
-    ex = persist_tracked(_distinct_shingles(d))
+    ex = persist_tracked(_distinct_shingle_keys(d))  # 8-byte verify keys (r8)
     cands = None
     for b, r in BAND_SWEEP_CFGS:
         rows = _band_rows_cfg(sigs, b, r)
@@ -4611,7 +4711,7 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             eb,
             (F.col("doc_b") == F.col("eb.doc_id"))
-            & (F.col("eb.s") == F.col("ea.s")),
+            & (F.col("eb.sk") == F.col("ea.sk")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

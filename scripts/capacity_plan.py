@@ -59,7 +59,8 @@ QUERIES = [
     "dedup_keep_last", "docs_exact_dedup", "docs_incremental_dedup",
     # near-dup flagships
     "minhash_lsh_pairs", "minhash_verified_pairs",
-    "minhash_lsh_stopfiltered", "minhash_band_sweep", "docs_simhash",
+    "minhash_lsh_stopfiltered", "minhash_band_sweep",
+    "docs_jaccard_top_pairs", "docs_simhash",
     "simhash_near_pairs", "dedup_graph_triangles", "docs_dup_spans",
     "docs_dup_span_ranges",
     # decontamination / curation / ANN

@@ -110,3 +110,35 @@ def test_stop_threshold_is_integer_exact(spark):
         spark, con, REGISTRY["minhash_lsh_stopfiltered"], SF_DIR
     )
     assert res.ok, res.problems
+
+
+def test_pair_df_cap_is_absolute(spark):
+    """_pair_shingles (r8, capacity-plan finding: alpha 1.19 under the
+    relative-only cap): pair generation must ALSO drop shingles with
+    df > PAIR_DF_CAP even when the relative 1% threshold would admit
+    them — a relative cap re-admits the quadratic as the corpus grows.
+    Crafted corpus: 10,000 docs so the 1% threshold (100) far exceeds
+    the absolute cap; a 40-doc shared shingle (under 1%, over the cap)
+    must vanish from pair shingles while a 10-doc shingle survives."""
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        PAIR_DF_CAP,
+        _pair_shingles,
+    )
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit("shared forty times plus"))
+        .when(F.col("id") < 50, F.lit("shared ten times only"))
+        .otherwise(F.concat(F.lit("unique text row "), F.col("id")))
+        .alias("text"),
+    )
+    kept = {r["s"] for r in _pair_shingles(docs).select("s").distinct().collect()}
+    assert 40 > PAIR_DF_CAP >= 10
+    assert "shared forty times" not in kept, (
+        "df-40 shingle (1% threshold would admit it) must be cut by the "
+        "absolute cap"
+    )
+    assert "shared ten times" in kept
