@@ -55,6 +55,7 @@ from .scale_suite import (
     _distinct_shingles,
     _distinct_shingles_with_source,
     _gram_key64,
+    _sql_key64,
     _tokens,
     gram_rows,
     sql_kmeans_chain,
@@ -495,33 +496,47 @@ BLOOM_K = 3  # hash functions: pos_j = (h1 + j*h2) mod m, j in 0..2
 # either engine; the bitmap broadcasts at m/32 = 4096 rows regardless of
 # how many grams were inserted — THE property that makes a Bloom screen
 # viable when the exact eval gram set outgrows a broadcast.
+#
+# r8: the Carter-Wegman halves derive from the 60-bit md5-prefix
+# fingerprint sk (h1 = top 32 bits, h2 = low 28 bits) instead of two
+# fresh md5 substrings, so a gram frame that already carries sk — the
+# batch screen's distinct exchange — never touches the raw string again.
+# Same-gram ⇒ same-sk ⇒ same positions, so the no-false-negative
+# property is unchanged; both engines apply the identical derivation.
+_BLOOM_H2_MOD = 1 << 28
 
-_SQL_BLOOM_HALVES = """
-      SELECT doc_id, source, s,
-             CAST(CAST('0x' || substr(md5(s), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
-             CAST(CAST('0x' || substr(md5(s), 9, 8) AS UINTEGER) AS BIGINT) AS h2
+_SQL_BLOOM_HALVES = f"""
+      SELECT doc_id, source, sk,
+             sk // {_BLOOM_H2_MOD} AS h1,
+             sk % {_BLOOM_H2_MOD} AS h2
       FROM tagged
 """
 
 _SQL_BLOOM_POSITIONS = "\n      UNION ALL\n".join(
-    f"      SELECT doc_id, source, s, ((h1 + {j} * h2) % {BLOOM_M_BITS}) AS pos"
+    f"      SELECT doc_id, source, sk, ((h1 + {j} * h2) % {BLOOM_M_BITS}) AS pos"
     f" FROM halves"
     for j in range(BLOOM_K)
 )
 
 
+def _bloom_halves(grams: DataFrame) -> Column:
+    """The fingerprint column a gram frame hashes from: ``sk`` when
+    present (8-byte fast path), else derived map-side from ``s``."""
+    return (
+        F.col("sk") if "sk" in grams.columns else _gram_key64(F.col("s"))
+    )
+
+
 def _bloom_positions(grams: DataFrame, *carry: str) -> DataFrame:
-    """(carry..., s, pos) rows: each gram's BLOOM_K bit positions."""
-    m = F.md5(F.col("s"))
+    """(carry..., pos) rows: each gram's BLOOM_K bit positions."""
+    sk = _bloom_halves(grams)
     halves = grams.select(
         *carry,
-        "s",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        F.shiftright(sk, 28).alias("h1"),
+        sk.bitwiseAND(F.lit(_BLOOM_H2_MOD - 1)).alias("h2"),
     )
     return halves.select(
         *carry,
-        "s",
         F.explode(
             F.array(
                 *[
@@ -553,33 +568,43 @@ def bloom_bitmap(grams: DataFrame) -> DataFrame:
 
 
 def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
-    """(doc_id, s, bloom_pos) membership flags: probe each gram's
-    BLOOM_K positions against the BROADCAST bitmap; positive iff every
-    bit is set."""
-    probe = (
-        _bloom_positions(grams, "doc_id")
-        .select(
-            "doc_id",
-            "s",
-            F.expr(_WORD_IDX).alias("word_idx"),
-            F.expr(_MASK).alias("mask"),
+    """The input gram frame plus a ``bloom_pos`` membership flag:
+    probe each gram's BLOOM_K positions against the BROADCAST bitmap;
+    positive iff every bit is set.
+
+    r8: entirely map-side — one broadcast hash join per hash function
+    (BLOOM_K joins against the <=4096-row bitmap) instead of the old
+    explode(K) + groupBy(doc_id, gram) re-aggregation, which shuffled
+    the whole gram stream once more just to AND three bits together.
+    Requires ``grams`` distinct per gram row (every caller passes a
+    ``.distinct()`` frame); output granularity equals input."""
+    sk = _bloom_halves(grams)
+    sel = grams.withColumn("_h1", F.shiftright(sk, 28)).withColumn(
+        "_h2", sk.bitwiseAND(F.lit(_BLOOM_H2_MOD - 1))
+    )
+    flag = None
+    for j in range(BLOOM_K):
+        sel = sel.withColumn(
+            f"_pos{j}", (F.col("_h1") + j * F.col("_h2")) % BLOOM_M_BITS
         )
-        .join(F.broadcast(bloom), "word_idx", "left")
-        .select(
-            "doc_id",
-            "s",
-            F.when(
-                (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")))
-                != 0,
-                1,
+        # SQL shiftleft accepts a column shift; the PySpark wrapper only
+        # takes a literal int — same reason _MASK is an expr string
+        sel = sel.withColumn(f"_wi{j}", F.expr(f"_pos{j} div 32")).withColumn(
+            f"_mask{j}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_pos{j} % 32 AS INT))"),
+        )
+        b = F.broadcast(
+            bloom.select(
+                F.col("word_idx").alias(f"_bwi{j}"),
+                F.col("word").alias(f"_bw{j}"),
             )
-            .otherwise(0)
-            .alias("bit_set"),
         )
-    )
-    return probe.groupBy("doc_id", "s").agg(
-        (F.min("bit_set") == 1).alias("bloom_pos")
-    )
+        sel = sel.join(b, F.col(f"_wi{j}") == F.col(f"_bwi{j}"), "left")
+        bit = (
+            F.coalesce(F.col(f"_bw{j}"), F.lit(0)).bitwiseAND(F.col(f"_mask{j}"))
+        ) != 0
+        flag = bit if flag is None else (flag & bit)
+    return sel.select(*grams.columns, flag.alias("bloom_pos"))
 
 
 @register(
@@ -589,7 +614,7 @@ def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ), tagged AS (
-      SELECT e.doc_id, d.source, e.s FROM exploded e
+      SELECT DISTINCT e.doc_id, d.source, {_sql_key64('e.s')} AS sk FROM exploded e
       JOIN documents d ON d.doc_id = e.doc_id
     ), halves AS ({_SQL_BLOOM_HALVES}),
     positions AS (
@@ -600,20 +625,20 @@ def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
       FROM positions WHERE source = '{DECON_EVAL_SOURCE}'
       GROUP BY pos // 32
     ), probe AS (
-      SELECT p.doc_id, p.s,
+      SELECT p.doc_id, p.sk,
              CASE WHEN (coalesce(b.word, 0)
                         & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INTEGER)))
                   <> 0 THEN 1 ELSE 0 END AS bit_set
       FROM positions p LEFT JOIN bloom b ON b.word_idx = p.pos // 32
       WHERE p.source <> '{DECON_EVAL_SOURCE}'
     ), per_gram AS (
-      SELECT doc_id, s, min(bit_set) = 1 AS bloom_pos
-      FROM probe GROUP BY doc_id, s
+      SELECT doc_id, sk, min(bit_set) = 1 AS bloom_pos
+      FROM probe GROUP BY doc_id, sk
     ), eval_s AS (
-      SELECT DISTINCT s FROM tagged WHERE source = '{DECON_EVAL_SOURCE}'
+      SELECT DISTINCT sk FROM tagged WHERE source = '{DECON_EVAL_SOURCE}'
     ), flagged AS (
-      SELECT g.doc_id, g.bloom_pos, ev.s IS NOT NULL AS exact_hit
-      FROM per_gram g LEFT JOIN eval_s ev ON g.s = ev.s
+      SELECT g.doc_id, g.bloom_pos, ev.sk IS NOT NULL AS exact_hit
+      FROM per_gram g LEFT JOIN eval_s ev ON g.sk = ev.sk
     )
     SELECT doc_id,
            count(*) AS n_grams,
@@ -643,20 +668,31 @@ def docs_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     join here is replaced by sampling; the screen itself stays O(m)
     memory — the reason production decontamination uses Bloom filters at
     all.
+
+    r8: grams travel as 60-bit fingerprints through the one distinct
+    exchange (the oracle applies the identical transform — n_grams and
+    exact hits become fingerprint-distinct on both engines, the dup-span
+    trade), and the probe is BLOOM_K broadcast bitmap joins, fully
+    map-side — the old shape re-shuffled the gram stream a second time
+    through a groupBy just to AND the K bit flags.
     """
     d = table(spark, sf_dir, "documents")
-    tagged = _distinct_shingles_with_source(d)  # source rides the explode (r8)
+    tagged = (
+        gram_rows(d, 3, out="s", carry=("source",))
+        .select("doc_id", "source", _gram_key64(F.col("s")).alias("sk"))
+        .distinct()
+    )
     bloom = bloom_bitmap(tagged.where(F.col("source") == DECON_EVAL_SOURCE))
     per_gram = bloom_gram_flags(
         tagged.where(F.col("source") != DECON_EVAL_SOURCE), bloom
     )
     eval_s = (
         tagged.where(F.col("source") == DECON_EVAL_SOURCE)
-        .select("s")
+        .select("sk")
         .distinct()
         .withColumn("exact_hit", F.lit(True))
     )
-    flagged = per_gram.join(F.broadcast(eval_s), "s", "left")
+    flagged = per_gram.join(F.broadcast(eval_s), "sk", "left")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
         F.count(F.when(F.col("bloom_pos"), 1)).alias("n_bloom_hits"),

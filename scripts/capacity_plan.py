@@ -124,6 +124,8 @@ def _scanned_bytes(df, sf_dir: str) -> int:
 
 
 def main() -> None:
+    only = set(sys.argv[1:])  # optional query-name filter for re-measurement
+    queries = [q for q in QUERIES if not only or q in only]
     spark = get_spark(app_name="capacity-plan")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
@@ -134,7 +136,7 @@ def main() -> None:
     ).save()
     release_caches()
     rows = []
-    for name in QUERIES:
+    for name in queries:
         if name not in registry:
             continue
         meas = []
