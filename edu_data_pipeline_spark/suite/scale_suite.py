@@ -680,10 +680,14 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     share at least one DISTINCTIVE shingle), so a boilerplate shingle
     shared by k docs can no longer contribute k² join rows on a
     templated corpus (VERDICT r2 #1). r8: the cap is now ABSOLUTE
-    (df <= least(1% of docs, PAIR_DF_CAP=32)) — the capacity plan
-    measured alpha 1.19 under the relative-only cap because surviving
-    shingle groups grow with the corpus, re-admitting the quadratic;
-    see _pair_shingles for the recall trade. The Jaccard itself is
+    (df <= least(1% of docs, PAIR_DF_CAP=32)). The capacity plan
+    measures alpha 1.19 here; scripts/jaccard_cap_probe.py shows the
+    cause is the testdata's non-sf-invariant df distribution (mean df
+    grows ~linearly with corpus size — candidates 11k → 1.13M for 10x
+    docs), not the plan: under the absolute cap, worst-case candidates
+    are 512 per shingle at ANY df drift, linear in vocabulary; a
+    relative-only cap would re-admit the quadratic as 1% of n grows.
+    See _pair_shingles for the recall trade. The Jaccard itself is
     then computed EXACTLY over the FULL shingle sets, but only for the
     candidate pairs — verify cost is |candidates|-bounded, the same
     shape as minhash_verified_pairs. Pairs whose overlap is pure
