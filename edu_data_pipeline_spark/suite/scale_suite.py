@@ -359,6 +359,57 @@ def _distinct_shingles(d: DataFrame) -> DataFrame:
     return _shingle_rows(d).distinct()
 
 
+def _doc_distinct_gram_arrays(d: DataFrame, elem) -> DataFrame:
+    """(doc_id, arr) — each document's word-3-grams mapped through
+    ``elem`` (a gram-string Column -> element Column function), SORTED
+    and DEDUPED, built entirely MAP-SIDE (r8c).
+
+    Why this exists: a document's grams are generated from its own row,
+    so per-doc dedup needs no exchange at all — but the DataFrame
+    spellings all pay one (``.distinct()`` / ``collect_set`` shuffle
+    the full gram volume). This builds the distinct set as an array
+    expression instead. Two Generate barriers keep it linear: explode
+    binds the token array, then binds the transformed+sorted gram
+    array, so Catalyst's projection collapse can never re-inline the
+    split per element (the gram_rows trap); dedup is then an adjacent-
+    inequality filter over the BOUND sorted array — O(g log g) CPU per
+    doc, zero shuffle. array_distinct (O(g²) per row) stays banned.
+
+    Consumers: _doc_fp_sets (verify arrays), _stop_filtered_halves and
+    _pair_shingle_keys (df counting: exploding these arrays yields
+    per-doc-distinct rows, so document frequency is a plain count(*)
+    with map-side partial sums — a vocabulary-bounded exchange instead
+    of a gram-volume count_distinct), docs_decontamination-family
+    screens (rows are already per-doc distinct; no exchange before the
+    broadcast probe)."""
+    toks = d.select(
+        "doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+    ).where(F.size("toks") >= 3)
+    built = toks.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        lambda i: elem(
+                            F.array_join(F.slice(F.col("toks"), i, 3), " ")
+                        ),
+                    )
+                )
+            )
+        ).alias("arr"),
+    )
+    return built.select(
+        "doc_id",
+        F.filter(
+            F.col("arr"),
+            lambda x, i: (i == F.lit(0))
+            | (x != F.element_at(F.col("arr"), i)),
+        ).alias("arr"),
+    )
+
+
 def _doc_fp_sets(d: DataFrame) -> DataFrame:
     """(doc_id, sks) — each document's DISTINCT 60-bit shingle
     fingerprints as ONE array row: the exact-Jaccard verify currency
@@ -372,14 +423,14 @@ def _doc_fp_sets(d: DataFrame) -> DataFrame:
     n_sh becomes size(sks) — no separate sizes aggregate or join-back.
     Measured on minhash_verified_pairs: 2.9x less shuffle at both
     sf0.01 and sf0.1 (0.81→0.28 MB / 7.77→2.68 MB), alpha unchanged.
-    collect_set partial-aggregates map-side; a document's array is 8 B
-    per distinct gram, bounded by its own token count, so the row fits
-    wherever the document itself fit."""
-    return (
-        _shingle_rows(d)
-        .select("doc_id", _gram_key64(F.col("s")).alias("sk"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("sk").alias("sks"))
+    A document's array is 8 B per distinct gram, bounded by its own
+    token count, so the row fits wherever the document itself fit.
+    r8c: the array is built MAP-SIDE (_doc_distinct_gram_arrays) — the
+    collect_set exchange this first shipped the gram volume through is
+    gone; the verify family's only exchanges are now the candidate
+    joins themselves."""
+    return _doc_distinct_gram_arrays(d, _gram_key64).select(
+        "doc_id", F.col("arr").alias("sks")
     )
 
 
@@ -470,19 +521,30 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     return _sigs_from_shingle_rows(_shingle_rows(docs))
 
 
-def _sigs_from_shingle_rows(sh: DataFrame) -> DataFrame:
-    """MinHash signatures from (doc_id, s) shingle rows (dups harmless:
-    min over multiset == min over set)."""
+def _halves_from_shingle_rows(sh: DataFrame) -> DataFrame:
+    """Map-side (doc_id, h1, h2) Carter-Wegman halves from (doc_id, s)
+    shingle rows — duplicates preserved (min-agg consumers tolerate
+    them; df consumers count DISTINCT doc_id)."""
     m = F.md5(F.col("s"))
-    halves = sh.select(
+    return sh.select(
         "doc_id",
         F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
         F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
     )
+
+
+def _sigs_from_halves(halves: DataFrame) -> DataFrame:
+    """MinHash signatures from (doc_id, h1, h2) rows (dups harmless:
+    min over multiset == min over set)."""
     aggs = [
         F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}") for i in range(N_HASHES)
     ]
     return halves.groupBy("doc_id").agg(*aggs)
+
+
+def _sigs_from_shingle_rows(sh: DataFrame) -> DataFrame:
+    """MinHash signatures from (doc_id, s) shingle rows."""
+    return _sigs_from_halves(_halves_from_shingle_rows(sh))
 
 
 def band_rows(sigs: DataFrame) -> DataFrame:
@@ -586,6 +648,44 @@ def _stop_filtered_shingles(d: DataFrame) -> DataFrame:
     return ex.join(F.broadcast(stop), "s", "left_anti")
 
 
+def _halves_struct(g: Column) -> Column:
+    """struct(h1, h2) Carter-Wegman halves of one gram string."""
+    m = F.md5(g)
+    return F.struct(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+
+
+def _stop_filtered_halves(d: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2) PER-DOC-DISTINCT rows with >1%-document-
+    frequency shingles removed — the fingerprint-currency twin of
+    ``_stop_filtered_shingles`` that the stopfiltered QUERY path uses.
+    The structural cut (r8c): rows explode from the map-side per-doc
+    distinct arrays (_doc_distinct_gram_arrays), so document frequency
+    is a plain count(*) per (h1, h2) — map-side partial sums make that
+    exchange VOCABULARY-bounded; the string shape paid a gram-volume
+    distinct exchange plus a vocabulary groupBy of strings. The kept
+    side anti-joins the broadcast stop set map-side and feeds the
+    signature min-agg directly. df counts merge shingles on
+    md5-64-bit-prefix collision; the oracle applies the identical
+    transform, so parity is exact (the dup-span trade)."""
+    hv = _doc_distinct_gram_arrays(d, _halves_struct).select(
+        "doc_id", F.explode("arr").alias("h")
+    ).select("doc_id", "h.h1", "h.h2")
+    hdf = hv.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        hdf.crossJoin(F.broadcast(total))
+        .where(
+            F.col("df_docs")
+            > F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100"))
+        )
+        .select("h1", "h2")
+    )
+    return hv.join(F.broadcast(stop), ["h1", "h2"], "left_anti")
+
+
 # Absolute df cap for SHINGLE-SELF-JOIN candidate generation (r8, found
 # by the capacity plan: docs_jaccard_top_pairs measured alpha 1.19). The
 # relative 1% stop-filter above is right for cleaning SIGNATURES, but a
@@ -623,17 +723,39 @@ def _pair_shingles(d: DataFrame) -> DataFrame:
     return ex.join(F.broadcast(stop), "s", "left_anti")
 
 
-_SQL_KEPT_SHINGLES = f"""
-    dfreq AS (
-      SELECT s, count(*) AS df_docs FROM exploded GROUP BY s
-    ), tot AS (
-      SELECT count(*) AS n_docs FROM documents
-    ), kept AS (
-      SELECT e.doc_id, e.s
-      FROM exploded e JOIN dfreq d ON e.s = d.s CROSS JOIN tot
-      WHERE d.df_docs <= greatest({STOP_DF_FLOOR}, n_docs // 100)
+def _pair_shingle_keys(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, sk) restricted to pair-generation fingerprints
+    (df <= least(greatest(5, 1% of docs), PAIR_DF_CAP)) — the 8-byte
+    currency the candidate SELF-JOIN runs on (r8b twin of
+    ``_pair_shingles``; that string form remains the readable exhibit
+    and the unit-test surface). The self-join is the widest exchange in
+    docs_jaccard_top_pairs, so its key and payload shrink from ~20-byte
+    shingle strings to 60-bit longs; df counting rides ONE
+    count_distinct exchange on raw gram rows. A fingerprint collision
+    merges two shingles' df and can only ADD a candidate pair — the
+    exact-Jaccard verify rescores every candidate, and the oracle
+    applies the identical transform, so parity is exact. r8c: rows
+    explode from the map-side per-doc distinct arrays
+    (_doc_distinct_gram_arrays) — already globally distinct on
+    (doc_id, sk), so df is a vocabulary-bounded count(*) and the
+    trailing .distinct() exchange is gone."""
+    rows = _doc_distinct_gram_arrays(d, _gram_key64).select(
+        "doc_id", F.explode("arr").alias("sk")
     )
-"""
+    kdf = rows.groupBy("sk").agg(F.count(F.lit(1)).alias("df_docs"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stop = (
+        kdf.crossJoin(F.broadcast(total))
+        .where(
+            F.col("df_docs")
+            > F.least(
+                F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100")),
+                F.lit(PAIR_DF_CAP),
+            )
+        )
+        .select("sk")
+    )
+    return rows.join(F.broadcast(stop), "sk", "left_anti")
 
 
 @register(
@@ -643,12 +765,18 @@ _SQL_KEPT_SHINGLES = f"""
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
-{_SQL_KEPT_SHINGLES},
+    halves_all AS ({_SQL_HALVES}),
+    hdf AS (
+      SELECT h1, h2, count(DISTINCT doc_id) AS df_docs
+      FROM halves_all GROUP BY h1, h2
+    ), tot AS (
+      SELECT count(*) AS n_docs FROM documents
+    ),
     halves AS (
-      SELECT doc_id,
-             CAST(CAST('0x' || substr(md5(s), 1, 8) AS UINTEGER) AS BIGINT) AS h1,
-             CAST(CAST('0x' || substr(md5(s), 9, 8) AS UINTEGER) AS BIGINT) AS h2
-      FROM kept
+      SELECT a.doc_id, a.h1, a.h2
+      FROM halves_all a
+      JOIN hdf f ON a.h1 = f.h1 AND a.h2 = f.h2 CROSS JOIN tot
+      WHERE f.df_docs <= greatest({STOP_DF_FLOOR}, n_docs // 100)
     ),
     sigs AS (
       SELECT doc_id,
@@ -671,9 +799,12 @@ def minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     share distinctive shingles too) keep colliding — candidate volume
     drops with recall held (locked by tests/test_stop_shingles.py). The
     verify stage still scores FULL shingle sets, so accepted pairs carry
-    the true Jaccard."""
+    the true Jaccard. r8b: the query path runs on _stop_filtered_halves
+    (df on 64-bit Carter-Wegman fingerprints, one count_distinct
+    exchange, no distinct on the kept side — the min-agg tolerates
+    duplicate rows); the oracle applies the identical transform."""
     d = table(spark, sf_dir, "documents")
-    return _band_pairs(_sigs_from_shingle_rows(_stop_filtered_shingles(d)))
+    return _band_pairs(_sigs_from_halves(_stop_filtered_halves(d)))
 
 
 @register(
@@ -683,15 +814,21 @@ def minhash_lsh_stopfiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
-{_SQL_KEPT_SHINGLES},
+    pk_raw AS (
+      SELECT doc_id, {_sql_key64('s')} AS sk FROM exploded
+    ), pdf AS (
+      SELECT sk, count(DISTINCT doc_id) AS df_docs FROM pk_raw GROUP BY sk
+    ), tot AS (
+      SELECT count(*) AS n_docs FROM documents
+    ),
     pair_sh AS (
-      SELECT e.doc_id, e.s
-      FROM exploded e JOIN dfreq d ON e.s = d.s CROSS JOIN tot
-      WHERE d.df_docs <= least(greatest({STOP_DF_FLOOR}, n_docs // 100),
+      SELECT DISTINCT r.doc_id, r.sk
+      FROM pk_raw r JOIN pdf p ON r.sk = p.sk CROSS JOIN tot
+      WHERE p.df_docs <= least(greatest({STOP_DF_FLOOR}, n_docs // 100),
                                {PAIR_DF_CAP})
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM pair_sh a JOIN pair_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM pair_sh a JOIN pair_sh b ON a.sk = b.sk AND a.doc_id < b.doc_id
     ), exploded_k AS (
       SELECT DISTINCT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), sizes AS (
@@ -733,13 +870,15 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     template boilerplate are by construction not near-dup candidates.
     """
     d = table(spark, sf_dir, "documents")
-    kept = _pair_shingles(d)  # absolute df cap for pair generation (r8)
+    # absolute df cap for pair generation (r8); the self-join runs on
+    # 8-byte fingerprints instead of shingle strings (r8b)
+    kept = _pair_shingle_keys(d)
     ka = kept.alias("ka")
     kb = kept.alias("kb")
     cand = (
         ka.join(
             kb,
-            (F.col("ka.s") == F.col("kb.s"))
+            (F.col("ka.sk") == F.col("kb.sk"))
             & (F.col("ka.doc_id") < F.col("kb.doc_id")),
         )
         .select(

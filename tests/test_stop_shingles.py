@@ -142,3 +142,15 @@ def test_pair_df_cap_is_absolute(spark):
         "absolute cap"
     )
     assert "shared ten times" in kept
+
+    # the QUERY path (r8b) runs on 60-bit fingerprints — same cap bite
+    import hashlib
+
+    from edu_data_pipeline_spark.suite.scale_suite import _pair_shingle_keys
+
+    def sk(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    kept_sk = {r["sk"] for r in _pair_shingle_keys(docs).collect()}
+    assert sk("shared forty times") not in kept_sk
+    assert sk("shared ten times") in kept_sk
