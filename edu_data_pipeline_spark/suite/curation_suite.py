@@ -54,6 +54,7 @@ from .scale_suite import (
     _cosine,
     _distinct_shingles,
     _distinct_shingles_with_source,
+    _distinct_sk_rows,
     _gram_key64,
     _sql_key64,
     _tokens,
@@ -455,11 +456,10 @@ def docs_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram pairs — the standard trade, documented at the dup-span site.
     """
     d = table(spark, sf_dir, "documents")
-    # gram_rows already filters docs shorter than the gram length
-    grams = (
-        gram_rows(d, CONTAM_GRAM_K, out="g", carry=("source",))
-        .select("doc_id", "source", _gram_key64(F.col("g")).alias("gk"))
-        .distinct()
+    # r8c: per-doc-distinct 8-gram fingerprints explode from the
+    # map-side arrays — the gram-volume distinct exchange is gone
+    grams = _distinct_sk_rows(d, carry=("source",), k=CONTAM_GRAM_K).select(
+        "doc_id", "source", F.col("sk").alias("gk")
     )
     eval_g = (
         grams.where(F.col("source") == DECON_EVAL_SOURCE)
@@ -677,11 +677,9 @@ def docs_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a groupBy just to AND the K bit flags.
     """
     d = table(spark, sf_dir, "documents")
-    tagged = (
-        gram_rows(d, 3, out="s", carry=("source",))
-        .select("doc_id", "source", _gram_key64(F.col("s")).alias("sk"))
-        .distinct()
-    )
+    # r8c: per-doc-distinct rows explode from the map-side arrays — the
+    # gram-volume distinct exchange is gone (see _distinct_sk_rows)
+    tagged = _distinct_sk_rows(d, carry=("source",))
     bloom = bloom_bitmap(tagged.where(F.col("source") == DECON_EVAL_SOURCE))
     per_gram = bloom_gram_flags(
         tagged.where(F.col("source") != DECON_EVAL_SOURCE), bloom

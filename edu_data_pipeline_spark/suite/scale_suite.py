@@ -359,7 +359,9 @@ def _distinct_shingles(d: DataFrame) -> DataFrame:
     return _shingle_rows(d).distinct()
 
 
-def _doc_distinct_gram_arrays(d: DataFrame, elem) -> DataFrame:
+def _doc_distinct_gram_arrays(
+    d: DataFrame, elem, carry: tuple[str, ...] = (), k: int = 3
+) -> DataFrame:
     """(doc_id, arr) — each document's word-3-grams mapped through
     ``elem`` (a gram-string Column -> element Column function), SORTED
     and DEDUPED, built entirely MAP-SIDE (r8c).
@@ -383,17 +385,18 @@ def _doc_distinct_gram_arrays(d: DataFrame, elem) -> DataFrame:
     screens (rows are already per-doc distinct; no exchange before the
     broadcast probe)."""
     toks = d.select(
-        "doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("toks")
-    ).where(F.size("toks") >= 3)
+        "doc_id", *carry, F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+    ).where(F.size("toks") >= k)
     built = toks.select(
         "doc_id",
+        *carry,
         F.explode(
             F.array(
                 F.array_sort(
                     F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
                         lambda i: elem(
-                            F.array_join(F.slice(F.col("toks"), i, 3), " ")
+                            F.array_join(F.slice(F.col("toks"), i, k), " ")
                         ),
                     )
                 )
@@ -402,11 +405,25 @@ def _doc_distinct_gram_arrays(d: DataFrame, elem) -> DataFrame:
     )
     return built.select(
         "doc_id",
+        *carry,
         F.filter(
             F.col("arr"),
             lambda x, i: (i == F.lit(0))
             | (x != F.element_at(F.col("arr"), i)),
         ).alias("arr"),
+    )
+
+
+def _distinct_sk_rows(
+    d: DataFrame, carry: tuple[str, ...] = (), k: int = 3
+) -> DataFrame:
+    """Per-doc-distinct (doc_id, *carry, sk) 60-bit fingerprint rows
+    with ZERO shuffle (r8c): explode of the map-side per-doc distinct
+    arrays. Drop-in replacement for the gram_rows(...).distinct() shape
+    wherever distinctness is only needed per document — which is every
+    (doc_id, sk)-grained consumer, since the pair is the grain."""
+    return _doc_distinct_gram_arrays(d, _gram_key64, carry=carry, k=k).select(
+        "doc_id", *carry, F.explode("arr").alias("sk")
     )
 
 
@@ -1932,11 +1949,10 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     The shared count is fingerprint-distinct on both engines (collision
     fold ~n²/2^61, the documented trade)."""
     d = table(spark, sf_dir, "documents")
-    ex = (
-        gram_rows(d, 3, out="s", carry=("source",))
-        .select("doc_id", "source", _gram_key64(F.col("s")).alias("sk"))
-        .distinct()
-    )
+    # r8c: per-doc-distinct rows explode from the map-side arrays — the
+    # gram-volume distinct exchange is gone; the only exchanges left are
+    # the (tiny) eval-side distinct and the 1-row-per-doc final agg.
+    ex = _distinct_sk_rows(d, carry=("source",))
     eval_sh = (
         ex.where(F.col("source") == DECON_EVAL_SOURCE).select("sk").distinct()
     )
@@ -2956,14 +2972,37 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = gram_rows(d, DUP_SPAN_K, out="g").select(
         "doc_id", _gram_key64(F.col("g")).alias("gk")
     )
-    gdf = grams.groupBy("gk").agg(F.count_distinct("doc_id").alias("df"))
-    marked = grams.join(gdf, "gk").select("doc_id", (F.col("df") >= 2).alias("dup"))
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.col("dup").cast("long")).alias("n_dup_grams"),
-        dround(
-            F.sum(F.col("dup").cast("long")) * 1.0 / F.count(F.lit(1)), 4
-        ).alias("dup_ratio"),
+    # r8c: df from the zero-shuffle per-doc-distinct rows — a plain
+    # count(*) with map-side partials (vocabulary-bounded exchange)
+    # instead of count_distinct's gram-volume dedup exchange
+    gdf = (
+        _distinct_sk_rows(d, k=DUP_SPAN_K)
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    # n_grams is arithmetic on the token count — no gram rows shuffled
+    # for it; only instances of DUPLICATED grams reach an exchange (the
+    # semi-join, whose right side reuses the df agg's gk partitioning)
+    n_grams = d.select(
+        "doc_id", (F.size(_tokens(F.col("text"))) - (DUP_SPAN_K - 1)).alias("n_grams")
+    ).where(F.col("n_grams") >= 1)
+    dup_counts = (
+        grams.join(dup_keys, "gk", "semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return (
+        n_grams.join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).alias("n_dup_grams"),
+            dround(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0)) * 1.0 / F.col("n_grams"),
+                4,
+            ).alias("dup_ratio"),
+        )
     )
 
 
@@ -3047,8 +3086,16 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.slice(F.col("toks"), F.col("i"), DUP_SPAN_K), " ")
         ).alias("gk"),
     )
-    gdf = grams.groupBy("gk").agg(F.count_distinct("doc_id").alias("df"))
-    dup_pos = grams.join(gdf, "gk").where(F.col("df") >= 2).select("doc_id", "pos")
+    # r8c: df from the zero-shuffle per-doc-distinct rows (vocabulary-
+    # bounded count); only DUPLICATED gram positions reach the semi-join
+    # exchange, whose right side reuses the df agg's partitioning
+    gdf = (
+        _distinct_sk_rows(d, k=DUP_SPAN_K)
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    dup_pos = grams.join(dup_keys, "gk", "semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(
         "new_island",
@@ -3854,35 +3901,85 @@ CDC_MODULUS = 8  # expected tokens per chunk
     """,
 )
 def docs_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Variable-size chunks with content-defined (rolling-hash) bounds."""
+    """Variable-size chunks with content-defined (rolling-hash) bounds.
+
+    r8c: ZERO-shuffle. Chunking is per-document by definition, so the
+    whole pass is array algebra inside one codegen stage: boundary
+    positions filter out of the token array map-side, each (chunk_id,
+    start, end) segment derives from adjacent boundaries, and the chunk
+    digest is md5 over the sliced token span. The previous shape paid a
+    doc_id window exchange plus a (doc_id, chunk_id) aggregation
+    exchange — both shipping every token row — to compute something
+    each document already had locally. Two Generate barriers bind the
+    token and boundary arrays (the gram_rows anti-collapse pattern).
+    chunk_id numbering matches the window form: the pre-first-boundary
+    span is chunk 0 (absent when the doc starts on a boundary),
+    boundary j starts chunk j."""
     d = table(spark, sf_dir, "documents")
+    # size >= 1 mirrors the posexplode form (docs with a null/empty
+    # token array produced no rows there) and keeps sequence() ascending
     toks = d.select(
-        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos0", "t")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
-    marked = toks.withColumn(
-        "is_boundary", (h % CDC_MODULUS == 0).cast("long")
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seg = marked.withColumn("chunk_id", F.sum("is_boundary").over(w))
-    return (
-        seg.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "t"))),
-                        lambda p: p["t"],
-                    ),
-                    " ",
+        "doc_id", F.explode(F.array(_tokens(F.col("text")))).alias("toks")
+    ).where(F.size("toks") >= 1)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    bound = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("toks")),
+                    lambda i: h(F.element_at(F.col("toks"), i)) % CDC_MODULUS
+                    == 0,
                 )
-            ).alias("chunk_md5"),
+            )
+        ).alias("bpos"),
+    )
+    # (chunk_id, start) pairs: chunk 0 at position 1 unless the doc
+    # starts on a boundary; boundary j (1-based) starts chunk j.
+    # head is [] or one element — filter keeps the literal's type
+    head = F.filter(
+        F.array(
+            F.struct(F.lit(0).cast("long").alias("cid"), F.lit(1).alias("start"))
+        ),
+        lambda _: (F.size("bpos") == 0) | (F.element_at("bpos", 1) > 1),
+    )
+    starts = F.concat(
+        head,
+        F.transform(
+            F.col("bpos"),
+            lambda b, i: F.struct(
+                (i + 1).cast("long").alias("cid"), b.alias("start")
+            ),
+        ),
+    )
+    with_starts = bound.select(
+        "doc_id", "toks", F.explode(F.array(starts)).alias("starts")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("starts")),
+            lambda j: F.struct(
+                F.element_at(F.col("starts"), j)["cid"].alias("chunk_id"),
+                F.element_at(F.col("starts"), j)["start"].alias("start"),
+                F.when(
+                    j < F.size("starts"),
+                    F.element_at(F.col("starts"), j + 1)["start"] - 1,
+                )
+                .otherwise(F.size("toks"))
+                .alias("end"),
+            ),
         )
+    )
+    segs = with_starts.select("doc_id", "toks", chunk.alias("c"))
+    span = F.slice(
+        F.col("toks"), F.col("c.start"), F.col("c.end") - F.col("c.start") + 1
+    )
+    return segs.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        (F.col("c.end") - F.col("c.start") + 1).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(span, " ")).alias("chunk_md5"),
     )
 
 
