@@ -2040,16 +2040,23 @@ _SQL_SHINGLES_DUP = """
 def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-3-gram ratio — the standard repetition quality signal
     (templated/spun text repeats shingles; clean prose rarely does).
-    Shares the linear explode+slice shingle stage; one groupBy doc with
-    a count-distinct — no joins, no candidate generation."""
+
+    r8c: ZERO-shuffle. n_shingles is token arithmetic (every position
+    yields one gram) and n_distinct is the size of the map-side per-doc
+    distinct-array (STRING elements — matches count(DISTINCT s)
+    exactly, no fingerprint transform when only the size is read); the
+    old shape paid count_distinct's gram-volume dedup exchange."""
     d = table(spark, sf_dir, "documents")
-    sh = _shingle_rows(d)
-    return sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count_distinct("s").alias("n_distinct"),
-        dround(
-            1.0 - F.count_distinct("s") * 1.0 / F.count(F.lit(1)), 4
-        ).alias("repetition_ratio"),
+    dd = d.select(
+        "doc_id", "text", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    )
+    arr = _doc_distinct_gram_arrays(dd, lambda g: g, carry=("n_tokens",))
+    n_sh = (F.col("n_tokens") - 2).cast("long")
+    return arr.select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        F.size("arr").cast("long").alias("n_distinct"),
+        dround(1.0 - F.size("arr") * 1.0 / n_sh, 4).alias("repetition_ratio"),
     )
 
 
@@ -3687,15 +3694,23 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens")
     )
-    sh = _shingle_rows(d)
-    rep = sh.groupBy("doc_id").agg(
-        (F.count(F.lit(1)) - F.count_distinct("s")).alias("n_repeated")
+    # r8c: n_repeated = (n_grams - n_distinct) is pure per-doc
+    # arithmetic — gram count from the token count, distinct count from
+    # the map-side distinct-array size (STRING elements, so the count
+    # matches the oracle's list_distinct exactly; no fingerprint
+    # transform needed when only the size is consumed). The old shape
+    # paid count_distinct's gram-volume dedup exchange keyed by doc_id.
+    dist = _doc_distinct_gram_arrays(d, lambda g: g).select(
+        "doc_id", F.size("arr").alias("n_distinct")
     )
-    joined = toks.join(rep, "doc_id", "left").select(
+    joined = toks.join(dist, "doc_id", "left").select(
         "doc_id",
         "lang",
         "n_tokens",
-        F.coalesce(F.col("n_repeated"), F.lit(0)).alias("n_repeated"),
+        F.coalesce(
+            F.greatest(F.col("n_tokens") - 2, F.lit(0)) - F.col("n_distinct"),
+            F.lit(0),
+        ).cast("long").alias("n_repeated"),
     )
     bucket = F.struct(
         F.col("n_repeated").alias("r"),
@@ -4274,32 +4289,48 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SQL_SHINGLES}),
     exploded AS (
       SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), keyed AS (
+      SELECT doc_id, {_sql_key64('s')} AS sk FROM exploded
     ), first_seen AS (
-      SELECT s, min(doc_id) AS first_doc FROM exploded GROUP BY s
+      SELECT sk, min(doc_id) AS first_doc FROM keyed GROUP BY sk
+    ), novel AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+      FROM first_seen GROUP BY first_doc
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM keyed GROUP BY doc_id
     )
-    SELECT e.doc_id,
-           count(*) AS n_shingles,
-           CAST(count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) AS BIGINT)
-             AS n_novel,
-           {sql_dround('count(CASE WHEN f.first_doc = e.doc_id THEN 1 END) * 1.0 / count(*)', 4)}
+    SELECT s.doc_id, s.n_shingles,
+           coalesce(n.n_novel, 0) AS n_novel,
+           {sql_dround('coalesce(n.n_novel, 0) * 1.0 / s.n_shingles', 4)}
              AS novelty
-    FROM exploded e JOIN first_seen f ON e.s = f.s
-    GROUP BY e.doc_id
+    FROM sizes s LEFT JOIN novel n ON n.doc_id = s.doc_id
     """,
 )
 def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Share of each doc's distinct shingles first seen in that doc."""
-    ex = _distinct_shingles(table(spark, sf_dir, "documents"))
-    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    joined = ex.join(first, "s")
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias("n_novel"),
+    """Share of each doc's distinct shingles first seen in that doc.
+
+    r8c shape: per-doc-distinct fingerprint rows (zero-shuffle arrays)
+    feed ONE min-agg keyed on the 60-bit fingerprint (map-side partial
+    min makes the exchange near-vocabulary-bounded), and per-doc novel
+    counts come straight off that agg (groupBy(first_doc)) — the old
+    join-back of the full gram stream is gone; n_shingles is the size
+    of the doc's own array. Counts are fingerprint-distinct on BOTH
+    engines (the oracle applies the identical transform — the dup-span
+    collision trade)."""
+    d = table(spark, sf_dir, "documents")
+    arrs = _doc_fp_sets(d)
+    rows = arrs.select("doc_id", F.explode("sks").alias("sk"))
+    first = rows.groupBy("sk").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    sizes = arrs.select("doc_id", F.size("sks").cast("long").alias("n_shingles"))
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
         dround(
-            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
-            * 1.0
-            / F.count(F.lit(1)),
-            4,
+            F.coalesce(F.col("n_novel"), F.lit(0)) * 1.0 / F.col("n_shingles"), 4
         ).alias("novelty"),
     )
 
