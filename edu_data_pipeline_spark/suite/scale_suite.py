@@ -665,42 +665,49 @@ def _stop_filtered_shingles(d: DataFrame) -> DataFrame:
     return ex.join(F.broadcast(stop), "s", "left_anti")
 
 
-def _halves_struct(g: Column) -> Column:
-    """struct(h1, h2) Carter-Wegman halves of one gram string."""
-    m = F.md5(g)
-    return F.struct(
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
-    )
+def _sk_from_halves() -> Column:
+    """The 60-bit gram key derived arithmetically from the Carter-Wegman
+    halves: md5 hex chars 1-15 = h1's 32 bits then h2's top 28, i.e.
+    (h1 << 28) + (h2 >> 4) — bit-identical to :func:`_gram_key64`, no
+    second md5."""
+    return F.expr("shiftleft(h1, 28) + shiftright(h2, 4)")
 
 
 def _stop_filtered_halves(d: DataFrame) -> DataFrame:
-    """(doc_id, h1, h2) PER-DOC-DISTINCT rows with >1%-document-
-    frequency shingles removed — the fingerprint-currency twin of
-    ``_stop_filtered_shingles`` that the stopfiltered QUERY path uses.
-    The structural cut (r8c): rows explode from the map-side per-doc
-    distinct arrays (_doc_distinct_gram_arrays), so document frequency
-    is a plain count(*) per (h1, h2) — map-side partial sums make that
-    exchange VOCABULARY-bounded; the string shape paid a gram-volume
-    distinct exchange plus a vocabulary groupBy of strings. The kept
-    side anti-joins the broadcast stop set map-side and feeds the
-    signature min-agg directly. df counts merge shingles on
-    md5-64-bit-prefix collision; the oracle applies the identical
-    transform, so parity is exact (the dup-span trade)."""
-    hv = _doc_distinct_gram_arrays(d, _halves_struct).select(
-        "doc_id", F.explode("arr").alias("h")
-    ).select("doc_id", "h.h1", "h.h2")
-    hdf = hv.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("df_docs"))
+    """(doc_id, h1, h2) rows (dups kept — the min-agg consumer is
+    set-invariant) with >1%-document-frequency shingles removed — the
+    fingerprint-currency twin of ``_stop_filtered_shingles`` that the
+    stopfiltered QUERY path uses. Two structural cuts (r8c): document
+    frequency is a plain count(*) over the zero-shuffle per-doc
+    distinct rows — map-side partial sums make that exchange
+    VOCABULARY-bounded (the string shape paid a gram-volume distinct
+    exchange plus a vocabulary groupBy of strings) — and the kept side
+    is the RAW flat gram stream (no per-doc sort: the expensive array
+    pipeline runs exactly once, on the df side; a first cut fed BOTH
+    sides from the arrays and evaluated the whole map-side pipeline
+    twice, measurably slower on wall despite identical bytes). The
+    anti-join key is the 60-bit fingerprint derived arithmetically from
+    the halves (_sk_from_halves). df counts merge shingles on
+    fingerprint collision; the oracle applies the identical transform,
+    so parity is exact (the dup-span trade)."""
+    kdf = (
+        _distinct_sk_rows(d)
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
-        hdf.crossJoin(F.broadcast(total))
+        kdf.crossJoin(F.broadcast(total))
         .where(
             F.col("df_docs")
             > F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100"))
         )
-        .select("h1", "h2")
+        .select("sk")
     )
-    return hv.join(F.broadcast(stop), ["h1", "h2"], "left_anti")
+    hv = _halves_from_shingle_rows(_shingle_rows(d)).withColumn(
+        "sk", _sk_from_halves()
+    )
+    return hv.join(F.broadcast(stop), "sk", "left_anti").drop("sk")
 
 
 # Absolute df cap for SHINGLE-SELF-JOIN candidate generation (r8, found
@@ -783,16 +790,19 @@ def _pair_shingle_keys(d: DataFrame) -> DataFrame:
       SELECT doc_id, unnest(shingles) AS s FROM sh
     ),
     halves_all AS ({_SQL_HALVES}),
+    keyed AS (
+      SELECT doc_id, h1, h2, (h1 << 28) + (h2 >> 4) AS sk FROM halves_all
+    ),
     hdf AS (
-      SELECT h1, h2, count(DISTINCT doc_id) AS df_docs
-      FROM halves_all GROUP BY h1, h2
+      SELECT sk, count(DISTINCT doc_id) AS df_docs
+      FROM keyed GROUP BY sk
     ), tot AS (
       SELECT count(*) AS n_docs FROM documents
     ),
     halves AS (
-      SELECT a.doc_id, a.h1, a.h2
-      FROM halves_all a
-      JOIN hdf f ON a.h1 = f.h1 AND a.h2 = f.h2 CROSS JOIN tot
+      SELECT k.doc_id, k.h1, k.h2
+      FROM keyed k
+      JOIN hdf f ON k.sk = f.sk CROSS JOIN tot
       WHERE f.df_docs <= greatest({STOP_DF_FLOOR}, n_docs // 100)
     ),
     sigs AS (
