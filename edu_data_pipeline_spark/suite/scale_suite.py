@@ -645,24 +645,39 @@ STOP_DF_FLOOR = 5  # never drop shingles seen in <= 5 docs
 
 
 def _stop_filtered_shingles(d: DataFrame) -> DataFrame:
-    """Distinct (doc_id, s) with >1%-document-frequency shingles removed.
+    """Distinct (doc_id, s) STRING rows with >1%-document-frequency
+    shingles removed — the string-currency form consumed by the
+    streaming dedup index (`streaming.jobs.corpus_shingle_index`, whose
+    stream side joins on the shingle text).
 
-    The stop list is vocabulary-bounded and tiny (only shingles in >1% of
-    a corpus), so it broadcasts; the anti-join is shuffle-free on the big
-    side. The df count itself is one linear groupBy — the same shuffle
-    family the signature aggregation already pays."""
-    ex = _distinct_shingles(d)
-    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df_docs"))
+    r8c: rows explode from the map-side per-doc distinct arrays (zero
+    shuffle — the old shape paid a gram-volume distinct exchange) and
+    the stop set is df > threshold over the vocabulary-bounded
+    fingerprint count, the same transform the stopfiltered query path
+    uses; the anti-join derives the fingerprint map-side. The build's
+    only exchange is the vocab-bounded df count."""
+    kdf = (
+        _distinct_sk_rows(d)
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+    )
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     stop = (
-        dfreq.crossJoin(F.broadcast(total))
+        kdf.crossJoin(F.broadcast(total))
         .where(
             F.col("df_docs")
             > F.greatest(F.lit(STOP_DF_FLOOR), F.expr("n_docs div 100"))
         )
-        .select("s")
+        .select("sk")
     )
-    return ex.join(F.broadcast(stop), "s", "left_anti")
+    rows = _doc_distinct_gram_arrays(d, lambda g: g).select(
+        "doc_id", F.explode("arr").alias("s")
+    )
+    return (
+        rows.withColumn("sk", _gram_key64(F.col("s")))
+        .join(F.broadcast(stop), "sk", "left_anti")
+        .drop("sk")
+    )
 
 
 def _sk_from_halves() -> Column:
