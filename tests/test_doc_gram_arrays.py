@@ -12,6 +12,8 @@ consecutive boundaries, boundary at the last position).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import functions as F
 
 from edu_data_pipeline_spark.suite import load_all
@@ -155,3 +157,76 @@ def test_cdc_array_rewrite_matches_window_form(spark, tmp_path):
     )
     want = sorted(map(tuple, _window_cdc(spark, d).collect()))
     assert got == want
+
+
+SEED = 0x5CA1E
+
+
+def _random_texts(n: int) -> list[str]:
+    """Seeded dirty corpus: repeated tokens, runs of spaces (which the
+    shared _tokens split turns into empty-string tokens — both shapes
+    must agree on those too), leading/trailing space, empty and tiny
+    docs, long templated docs."""
+    rng = random.Random(SEED)
+    vocab = [f"w{i}" for i in range(25)] + ["UPPER", "123", "a-b", "x_y"]
+    out = []
+    for _ in range(n):
+        k = rng.choice([0, 1, 2, 3, 5, 8, 15, 40])
+        toks = [rng.choice(vocab) for _ in range(k)]
+        if toks and rng.random() < 0.3:  # force within-doc repetition
+            toks = toks + toks[: rng.randrange(1, len(toks) + 1)]
+        sep = "  " if rng.random() < 0.2 else " "
+        text = sep.join(toks)
+        if rng.random() < 0.2:
+            text = " " + text + "  "
+        out.append(text)
+    return out
+
+
+def test_fuzz_array_builder_and_cdc_against_references(spark):
+    """200 seeded random documents: the map-side array builder must
+    equal the exchange-based distinct shapes, and the zero-shuffle CDC
+    must equal the window reference, on every document at once."""
+    d = _docs(spark, _random_texts(200))
+
+    via_arrays = {
+        r["doc_id"]: sorted(r["arr"])
+        for r in _doc_distinct_gram_arrays(d, lambda g: g).collect()
+    }
+    via_distinct = {
+        r["doc_id"]: sorted(x["s"] for x in r["ss"])
+        for r in gram_rows(d, 3)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s")).alias("ss"))
+        .collect()
+    }
+    assert via_arrays == via_distinct
+
+    via_sk = {
+        r["doc_id"]: sorted(r["arr"])
+        for r in _doc_distinct_gram_arrays(d, _gram_key64, k=8).collect()
+    }
+    via_set = {
+        r["doc_id"]: sorted(r["sks"])
+        for r in gram_rows(d, 8)
+        .select("doc_id", _gram_key64(F.col("s")).alias("sk"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sk").alias("sks"))
+        .collect()
+    }
+    assert via_sk == via_set
+
+    got = sorted(map(tuple, _cdc_on_frame(spark, d).collect()))
+    want = sorted(map(tuple, _window_cdc(spark, d).collect()))
+    assert got == want
+
+
+def _cdc_on_frame(spark, d):
+    """Run the registry CDC query against an in-memory frame by writing
+    it to a temp dir once per call."""
+    import tempfile
+
+    sf_dir = tempfile.mkdtemp(prefix="cdcfuzz")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    return REGISTRY["docs_cdc_chunks"].fn(spark, sf_dir)
