@@ -176,10 +176,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     names = [n for n in HEADLINE if n in registry]
-    # Warm-up (untimed): first query through the SAME noop-write path, so
-    # JVM/codegen/noop-sink init is paid before any timer starts.
-    registry[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    release_caches()
+    # Warm-up (untimed, r9 — VERDICT r8 "what's wrong" #1): ONE full pass
+    # of the suite through the SAME noop-write path, so JVM/codegen/
+    # noop-sink init and first-touch page-cache fills are paid before any
+    # timer starts. r8's first TIMED iteration ran 70.0 s vs 50.9-52.4
+    # steady-state, inflating total_spread_pct to 36.5% — a pure warmth
+    # artifact (per-query min-of-N already discarded it; only the spread
+    # stat lied). Wall recorded as warmup_total for transparency; the
+    # per-query min and shared-set ratio definitions are unchanged, so
+    # BENCH_HISTORY rows stay comparable.
+    warmup_start = time.perf_counter()
+    for name in names:
+        registry[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        release_caches()
+        spark.catalog.clearCache()
+    warmup_total = round(time.perf_counter() - warmup_start, 3)
     # Iteration-major min-of-N (VERDICT r3 #4): with query-major sampling
     # the lead queries' ALL samples ran on a cold JVM and absorbed warm-up
     # (~±7% suite variance concentrated in the first three names). Here a
@@ -243,6 +256,7 @@ def main() -> None:
         "n": N_RUNS,
         "set_version": SET_VERSION,
         "iter_totals": iter_totals,
+        "warmup_total": warmup_total,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),
         "host": _host_conditions(

@@ -162,6 +162,16 @@ def read_with_corrupt_routing(
     them (operators/data_cleaning.py:61-64); the Spark-first analog
     captures unparseable CSV rows in ``_corrupt_record`` at scan time and
     routes them out instead of failing the job. Returns (good, corrupt).
+
+    Cache-lifecycle convention: both returned frames share ONE cached
+    parse enrolled in the process-global tracked registry
+    (``edu_data_pipeline_spark.caches``). The harnesses (bench, parity
+    sweep, pipeline) call ``release_caches()`` after consuming each
+    query's output; an AD-HOC caller owns that call itself — consume
+    BOTH branches, then ``caches.release_caches()`` — and must not hold
+    the frames across someone else's ``release_caches()`` (a later
+    global flush unpersists this cache too; results stay correct but
+    the full PERMISSIVE parse silently recomputes per branch).
     """
     schema = T.StructType(
         [T.StructField(c, T.StringType()) for c in required_columns]

@@ -33,6 +33,16 @@ def read_jsonl_with_dlq(
     parse is cached because Spark cannot filter on the corrupt-record
     column without materializing it first; ``good`` carries a
     ``file_name`` lineage column captured before the cache.
+
+    Cache-lifecycle convention: both returned frames share ONE cached
+    parse enrolled in the process-global tracked registry
+    (``edu_data_pipeline_spark.caches``). The harnesses (bench, parity
+    sweep, pipeline) call ``release_caches()`` after consuming each
+    query's output; an AD-HOC caller owns that call itself — consume
+    BOTH branches, then ``caches.release_caches()`` — and must not hold
+    the frames across someone else's ``release_caches()`` (a later
+    global flush unpersists this cache too; results stay correct but
+    the full PERMISSIVE parse silently recomputes per branch).
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]

@@ -769,8 +769,10 @@ def _pair_shingle_keys(d: DataFrame) -> DataFrame:
     ``_pair_shingles``; that string form remains the readable exhibit
     and the unit-test surface). The self-join is the widest exchange in
     docs_jaccard_top_pairs, so its key and payload shrink from ~20-byte
-    shingle strings to 60-bit longs; df counting rides ONE
-    count_distinct exchange on raw gram rows. A fingerprint collision
+    shingle strings to 60-bit longs; df is a vocabulary-bounded
+    count(*) over the map-side per-doc-distinct array rows
+    (_doc_distinct_gram_arrays) with map-side partial sums — no
+    count_distinct exchange anywhere. A fingerprint collision
     merges two shingles' df and can only ADD a candidate pair — the
     exact-Jaccard verify rescores every candidate, and the oracle
     applies the identical transform, so parity is exact. r8c: rows
@@ -4322,7 +4324,7 @@ def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
       FROM first_seen GROUP BY first_doc
     ), sizes AS (
-      SELECT doc_id, count(*) AS n_shingles FROM keyed GROUP BY doc_id
+      SELECT doc_id, count(DISTINCT sk) AS n_shingles FROM keyed GROUP BY doc_id
     )
     SELECT s.doc_id, s.n_shingles,
            coalesce(n.n_novel, 0) AS n_novel,
