@@ -527,8 +527,15 @@ def _bloom_halves(grams: DataFrame) -> Column:
     )
 
 
-def _bloom_positions(grams: DataFrame, *carry: str) -> DataFrame:
-    """(carry..., pos) rows: each gram's BLOOM_K bit positions."""
+def _bloom_positions(
+    grams: DataFrame, *carry: str, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
+    """(carry..., pos) rows: each gram's BLOOM_K bit positions.
+
+    ``m_bits`` sizes the bitmap (keyword-only; default is the eval-set
+    screen's 2^17). Build and probe must pass the SAME value — the
+    dup-span pre-filter (scale_suite) uses a larger bitmap because its
+    key set is the corpus's dup vocabulary, not a fixed eval set."""
     sk = _bloom_halves(grams)
     halves = grams.select(
         *carry,
@@ -540,7 +547,7 @@ def _bloom_positions(grams: DataFrame, *carry: str) -> DataFrame:
         F.explode(
             F.array(
                 *[
-                    ((F.col("h1") + j * F.col("h2")) % BLOOM_M_BITS)
+                    ((F.col("h1") + j * F.col("h2")) % m_bits)
                     for j in range(BLOOM_K)
                 ]
             )
@@ -554,30 +561,33 @@ _WORD_IDX = "pos div 32"
 _MASK = "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
 
 
-def bloom_bitmap(grams: DataFrame) -> DataFrame:
+def bloom_bitmap(grams: DataFrame, *, m_bits: int = BLOOM_M_BITS) -> DataFrame:
     """(word_idx, word) Bloom bitmap over a gram frame's ``s`` column —
     the map-side-combinable build shared by the batch screen query and
     the streaming quarantine router (same constants, so the two can
-    never desynchronize)."""
+    never desynchronize). Probe with the SAME ``m_bits``."""
     return (
-        _bloom_positions(grams)
+        _bloom_positions(grams, m_bits=m_bits)
         .select(F.expr(_WORD_IDX).alias("word_idx"), F.expr(_MASK).alias("mask"))
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
 
 
-def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
+def bloom_gram_flags(
+    grams: DataFrame, bloom: DataFrame, *, m_bits: int = BLOOM_M_BITS
+) -> DataFrame:
     """The input gram frame plus a ``bloom_pos`` membership flag:
     probe each gram's BLOOM_K positions against the BROADCAST bitmap;
     positive iff every bit is set.
 
     r8: entirely map-side — one broadcast hash join per hash function
-    (BLOOM_K joins against the <=4096-row bitmap) instead of the old
+    (BLOOM_K joins against the m_bits/32-row bitmap) instead of the old
     explode(K) + groupBy(doc_id, gram) re-aggregation, which shuffled
     the whole gram stream once more just to AND three bits together.
-    Requires ``grams`` distinct per gram row (every caller passes a
-    ``.distinct()`` frame); output granularity equals input."""
+    Output granularity equals input (instance streams are fine — each
+    row gets its own flag); pass the ``m_bits`` the bitmap was built
+    with."""
     sk = _bloom_halves(grams)
     sel = grams.withColumn("_h1", F.shiftright(sk, 28)).withColumn(
         "_h2", sk.bitwiseAND(F.lit(_BLOOM_H2_MOD - 1))
@@ -585,7 +595,7 @@ def bloom_gram_flags(grams: DataFrame, bloom: DataFrame) -> DataFrame:
     flag = None
     for j in range(BLOOM_K):
         sel = sel.withColumn(
-            f"_pos{j}", (F.col("_h1") + j * F.col("_h2")) % BLOOM_M_BITS
+            f"_pos{j}", (F.col("_h1") + j * F.col("_h2")) % m_bits
         )
         # SQL shiftleft accepts a column shift; the PySpark wrapper only
         # takes a literal int — same reason _MASK is an expr string
@@ -1096,6 +1106,51 @@ def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
          for m in merges],
         "merge_rank int, left string, right string, merged string,"
         " pair_count long",
+    )
+
+
+@register(
+    "docs_bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ), wt AS (
+      SELECT word, count(*) AS n FROM words WHERE length(word) > 0 GROUP BY word
+    ), syms AS (
+      SELECT n, list_append(regexp_extract_all(word, '[\\s\\S]'), '</w>') AS s
+      FROM wt
+    ), pairs AS (
+      SELECT s[i] AS a, s[i + 1] AS b, n
+      FROM syms, LATERAL (SELECT unnest(range(1, len(s))) AS i) r
+    )
+    SELECT a AS left_sym, b AS right_sym,
+           CAST(sum(n) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def docs_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable exact twin of docs_bpe_merges' FIRST iteration
+    (VERDICT r8 next-round #5): the full weighted adjacent-symbol pair
+    table over initial character+</w> sequences — exactly what
+    operators/bpe.py's word_types + _pair_rows feed the arg-max of
+    merge 1. The iterative loop itself stays rows-only (loop-carried
+    merges are not one SQL statement; the golden pytest covers it),
+    but this pins the distributed machinery under the loop — corpus
+    word-type collapse, symbol split, weighted pair explode — against
+    a full SQL oracle. Output is the whole pair table (vocabulary-
+    bounded), so arg-max tie-breaking never enters the comparison."""
+    from ..operators.bpe import _pair_rows, word_types
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        _pair_rows(word_types(d))
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("pair_count"))
+        .select(
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            "pair_count",
+        )
     )
 
 

@@ -1144,42 +1144,81 @@ _SQL_SIMHASH_WORDS = f"""
 
 
 def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash as four 16-bit words (w_0..w_3).
+    """Per-doc 64-bit SimHash as four 16-bit words (w_0..w_3), built
+    entirely MAP-SIDE (r9, extending the r8c array-algebra treatment).
 
-    The 64 per-bit sum aggregates and the 64-term word recombination are
-    built as parsed SQL strings (selectExpr / expr), not nested Python
-    Column operations: the expressions are identical, but one parse call
-    per expression replaces ~6 Py4J round-trips per operator node, which
-    cut this plan's driver-side construction cost from ~1.3 s to ~0.1 s
-    (VERDICT r1 #5). Scale-independent either way — this is fixed
-    latency, not per-row work.
+    A document's tokens come from its own row, so the 64 per-bit
+    +1/-1 sums need no exchange at all: the r1-r8 shape exploded the
+    token stream and re-grouped it on doc_id — map-side partial
+    aggregation kept the shuffle small (one 64-long row per doc) but
+    still token-keyed work through an exchange (measured sh/in 1.6,
+    266 TB projected at 100 TB). Here the per-bit ONES counts are one
+    ``aggregate`` over the token array (one md5 + 4 conv per token,
+    then 64 adds via zip_with against a per-token bit array), and the
+    sign test uses 2*ones - n_tokens, algebraically identical to the
+    +1/-1 sum. ``explode(array(...))`` binds the ones array once
+    (Generate barrier — Catalyst's projection collapse would otherwise
+    re-inline the aggregate into all 64 word-bit references, the
+    gram_rows trap documented at _doc_distinct_gram_arrays).
+    docs_simhash is now a pure scan-project (zero exchanges); the
+    near-pair queries' only exchanges are their band self-joins.
+
+    The 64-term word recombination stays a parsed SQL string
+    (selectExpr), not nested Python Columns: one parse call replaces
+    ~6 Py4J round-trips per node (VERDICT r1 #5) — fixed driver
+    latency, not per-row work. The oracle keeps the exploded
+    bit-sum shape; the crafted equivalence test
+    (tests/test_doc_gram_arrays.py) pins this rewrite against the
+    grouped reference shape element-for-element.
     """
-    d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    hashed = toks.selectExpr(
+    return _simhash_words_df(table(spark, sf_dir, "documents"))
+
+
+def _simhash_words_df(d: DataFrame) -> DataFrame:
+    """DataFrame-level body of :func:`_simhash_words` (split out so the
+    crafted-corpus equivalence test can run it on synthetic docs)."""
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    # per-token 4-word hash values: ONE md5 per token, bound by its own
+    # transform so the 4 conv()s read the same hex (no re-hash per word)
+    hvals = F.transform(
+        F.transform(F.col("toks"), lambda t: F.substring(F.md5(t), 1, 16)),
+        lambda hx: F.array(
+            *[
+                F.conv(F.substring(hx, 1 + 4 * j, 4), 16, 10).cast("long")
+                for j in range(SIMHASH_WORDS)
+            ]
+        ),
+    )
+    # ones[16j+i+1] = count of token instances with bit i of word j set
+    ones = F.aggregate(
+        hvals,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, hs: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(F.element_at(hs, j + 1), i).bitwiseAND(
+                        F.lit(1)
+                    )
+                    for j in range(SIMHASH_WORDS)
+                    for i in range(SIMHASH_WORD_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bound = toks.select(
         "doc_id",
-        *[
-            f"CAST(conv(substring(md5(t), {1 + 4 * j}, 4), 16, 10) AS BIGINT)"
-            f" AS h_{j}"
-            for j in range(SIMHASH_WORDS)
-        ],
+        F.size("toks").alias("n_toks"),
+        F.explode(F.array(ones)).alias("ones"),
     )
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"sum(CASE WHEN (shiftright(h_{j}, {i}) & 1) = 1"
-                " THEN 1 ELSE -1 END)"
-            ).alias(f"s_{j}_{i}")
-            for j in range(SIMHASH_WORDS)
-            for i in range(SIMHASH_WORD_BITS)
-        ]
-    )
-    return bit_sums.selectExpr(
+    return bound.selectExpr(
         "doc_id",
         *[
             "CAST("
             + " + ".join(
-                f"(CASE WHEN s_{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                f"(CASE WHEN 2 * element_at(ones, {16 * j + i + 1})"
+                f" - n_toks > 0 THEN {1 << i} ELSE 0 END)"
                 for i in range(SIMHASH_WORD_BITS)
             )
             + f" AS BIGINT) AS w_{j}"
@@ -1473,6 +1512,56 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("features", F.lit(0.0), lambda a, v: a + v), 4).alias(
             "feature_mass"
         ),
+    )
+
+
+@register(
+    "multimodal_features_exact",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+             hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, media_type, n_bytes,
+           round(len(list_filter(range(1, greatest(n_bytes, 1) + 1),
+                                 i -> substr(hx, 2 * i, 1) = '0'))
+                 * 1.0 / greatest(n_bytes, 1), 6) AS bin_0,
+           round(n_bytes * 1.0 / greatest(n_bytes, 1), 4) AS feature_mass
+    FROM media
+    """,
+)
+def multimodal_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable exact twin of multimodal_features (VERDICT r8
+    next-round #5): the same fake-decode outputs — bin_0 of the 16-bin
+    byte histogram and its L1 mass — computed with NATIVE expressions
+    so a full SQL oracle exists. byte % 16 is the byte's low hex
+    nibble, so bin_0 counts payload-hex positions 2,4,6,... equal to
+    '0' (both engines uppercase-hex the identical utf-8 payload), and
+    the L1-normalized histogram's mass is n/max(n,1) by construction.
+    The Arrow mapInPandas path stays the exhibit for real codecs; a
+    pytest asserts this twin equals it row-for-row, which transfers
+    the hash check onto the Arrow plumbing."""
+    from ..operators.multimodal import attach_fake_media
+
+    media = attach_fake_media(table(spark, sf_dir, "documents"))
+    n = F.col("meta.n_bytes")
+    hx = F.hex(F.col("payload"))
+    bin0 = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: hx.substr(i * 2, F.lit(1)) == "0",
+        )
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        n.alias("n_bytes"),
+        dround(bin0 * 1.0 / F.greatest(n, F.lit(1)), 6).alias("bin_0"),
+        dround(n * 1.0 / F.greatest(n, F.lit(1)), 4).alias("feature_mass"),
     )
 
 
@@ -2954,6 +3043,81 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_SPAN_K = 8  # tokens per gram
 
+# Bitmap size for the dup-fingerprint Bloom PRE-FILTER (r9, VERDICT r8
+# next-round #1). Bigger than the eval-set screen's 2^17: the key set
+# here is the corpus's DUPLICATED gram vocabulary (df >= 2), not a
+# fixed eval set. 2^20 bits = 32768 x 32-bit words (128 KiB broadcast)
+# holds ~10^5 keys at fill 1-exp(-3n/m) ~ 0.25, FP ~ 1.6%. Sizing rule
+# at scale: m ~ 10 bits per expected dup fingerprint keeps FP ~ 1-2%
+# with k=3 — a 1e9-key dup vocabulary wants a ~1.25 GB bitmap, still a
+# broadcast where the alternative was shuffling the full gram-instance
+# stream (774 TB projected at 100 TB before this filter). FP rate only
+# moderates how much the filter saves — never correctness (the exact
+# semi-join still rescreens every surviving instance).
+DUP_BLOOM_M_BITS = 1 << 20
+
+
+def _dup_gram_prefilter(grams: DataFrame, dup_keys: DataFrame) -> DataFrame:
+    """MAP-SIDE Bloom screen over a gram-INSTANCE stream: keep only
+    instances whose fingerprint is plausibly in ``dup_keys`` (the
+    df >= 2 set), so the dup-span family's semi-join exchange carries
+    only plausibly-duplicated instances plus Bloom false positives
+    instead of the whole gram volume — on a mostly-unique corpus that
+    deletes the exchange's bulk. No false negatives (Bloom property +
+    identical sk-derived Carter-Wegman halves on build and probe,
+    pinned by tests/test_doc_gram_arrays.py), so the downstream EXACT
+    semi-join returns byte-identical rows; the oracle needs no twin of
+    this filter.
+
+    Probe shape: the bitmap is densified into ONE array row (m/32
+    longs) and crossJoined broadcast — the whole membership test is
+    then BLOOM_K element_at + shift expressions per instance, no join
+    machinery at all. (A first cut reused bloom_gram_flags' three
+    per-hash broadcast joins; their subtrees differ by alias so
+    ReuseExchange never fired and the bitmap aggregate ran BLOOM_K
+    times — measured +1.3 MB shuffle at sf0.1, erasing the win.)
+    Build cost is one bounded aggregation (<= m/32 = 32768 (word,
+    mask) rows through bit_or partials) plus a single-row broadcast of
+    the m/8-byte array; nothing here shuffles gram volume. At 100 TB
+    the bitmap is sized ~10 bits per expected dup fingerprint — a
+    1e9-key dup vocabulary wants ~1.25 GB, still one broadcast where
+    the alternative was shuffling every gram instance."""
+    from .curation_suite import _BLOOM_H2_MOD, BLOOM_K, bloom_bitmap
+
+    n_words = DUP_BLOOM_M_BITS // 32
+    vec = (
+        bloom_bitmap(
+            dup_keys.select(F.col("gk").alias("sk")), m_bits=DUP_BLOOM_M_BITS
+        )
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word_idx"), F.collect_list("word")
+            ).alias("bm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("bm"), i.cast("long")), F.lit(0)
+                ),
+            ).alias("_bloom_words")
+        )
+    )
+    probe = " AND ".join(
+        f"((shiftright(element_at(_bloom_words, CAST({pos} div 32 AS INT) + 1),"
+        f" CAST({pos} % 32 AS INT)) & 1) = 1)"
+        for j in range(BLOOM_K)
+        for pos in [
+            f"((shiftright(gk, 28) + {j} * (gk & {_BLOOM_H2_MOD - 1}))"
+            f" % {DUP_BLOOM_M_BITS})"
+        ]
+    )
+    return (
+        grams.crossJoin(F.broadcast(vec))
+        .where(F.expr(probe))
+        .drop("_bloom_words")
+    )
+
 
 # 60-bit gram fingerprint: the two gram-keyed exchanges of the dup-span
 # family (gram-df aggregate + df join-back) carried the raw ~50-byte
@@ -3014,15 +3178,28 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    # dup_keys is consumed TWICE (Bloom bitmap build + exact semi-join
+    # right side); tracked-persist it so the df aggregation — whose
+    # exchange is vocabulary-bounded, i.e. ~gram-volume on a mostly-
+    # unique corpus — runs once (measured: without the cache the two
+    # consumers each re-ran it; ReuseExchange did not fire across the
+    # broadcast-stage boundary and sh/in DOUBLED). The cached frame is
+    # dup-bounded: one 8-byte fingerprint per DUPLICATED gram.
+    dup_keys = persist_tracked(
+        gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    )
     # n_grams is arithmetic on the token count — no gram rows shuffled
-    # for it; only instances of DUPLICATED grams reach an exchange (the
-    # semi-join, whose right side reuses the df agg's gk partitioning)
+    # for it. r9: a broadcast Bloom of the dup fingerprints pre-filters
+    # the instance stream MAP-SIDE, so the semi-join exchange carries
+    # only plausibly-duplicated instances (+ ~1.6% FP) instead of every
+    # gram instance — the filter has no false negatives and the exact
+    # semi-join rescreens survivors, so rows are byte-identical.
     n_grams = d.select(
         "doc_id", (F.size(_tokens(F.col("text"))) - (DUP_SPAN_K - 1)).alias("n_grams")
     ).where(F.col("n_grams") >= 1)
     dup_counts = (
-        grams.join(dup_keys, "gk", "semi")
+        _dup_gram_prefilter(grams, dup_keys)
+        .join(dup_keys, "gk", "semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_grams"))
     )
@@ -3128,8 +3305,18 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
-    dup_pos = grams.join(dup_keys, "gk", "semi").select("doc_id", "pos")
+    # tracked-persisted: consumed by both the bitmap build and the
+    # semi-join (see docs_dup_spans for the measured why)
+    dup_keys = persist_tracked(
+        gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    )
+    # r9: broadcast-Bloom pre-filter (see docs_dup_spans) — only
+    # plausibly-duplicated positions enter the semi-join exchange
+    dup_pos = (
+        _dup_gram_prefilter(grams, dup_keys)
+        .join(dup_keys, "gk", "semi")
+        .select("doc_id", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(
         "new_island",

@@ -77,3 +77,39 @@ def test_registry_entry_runs(spark):
     assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert r["merged"] == r["left"] + r["right"]
+
+
+def test_pair_stats_twin_feeds_first_merge(spark, tmp_path):
+    """docs_bpe_pair_stats (the oracle-checked exact twin) must contain
+    exactly the weighted pair table learn_bpe's first arg-max reads:
+    its max row (count desc, then lexicographic) IS merge rank 1."""
+    from edu_data_pipeline_spark.suite import load_all
+
+    reg = load_all()
+    texts = ["low low low lower", "newest newest widest", "low widest"]
+    d = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / "bpex")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    stats = reg["docs_bpe_pair_stats"].fn(spark, sf_dir).collect()
+    top = sorted(
+        stats, key=lambda r: (-r["pair_count"], r["left_sym"], r["right_sym"])
+    )[0]
+    first = learn_bpe(d, 1)[0]
+    assert (top["left_sym"], top["right_sym"], top["pair_count"]) == (
+        first["left"], first["right"], first["pair_count"]
+    )
+    # and the twin equals the operator's own pair rows aggregated
+    from edu_data_pipeline_spark.operators.bpe import _pair_rows
+
+    want = {
+        (r["a"], r["b"]): r["cnt"]
+        for r in _pair_rows(word_types(d))
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("cnt"))
+        .collect()
+    }
+    got = {(r["left_sym"], r["right_sym"]): r["pair_count"] for r in stats}
+    assert got == want

@@ -230,3 +230,138 @@ def _cdc_on_frame(spark, d):
     sf_dir = tempfile.mkdtemp(prefix="cdcfuzz")
     d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
     return REGISTRY["docs_cdc_chunks"].fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# r9: map-side SimHash words vs the r1-r8 exploded/grouped reference shape
+# ---------------------------------------------------------------------------
+
+
+def _simhash_words_grouped(d):
+    """The r1-r8 SimHash shape, kept verbatim as the test reference:
+    explode the token stream, 64 per-bit +1/-1 sums through a
+    groupBy(doc_id) exchange, then recombine the four 16-bit words."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        SIMHASH_WORD_BITS,
+        SIMHASH_WORDS,
+    )
+
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    hashed = toks.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(conv(substring(md5(t), {1 + 4 * j}, 4), 16, 10) AS BIGINT)"
+            f" AS h_{j}"
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h_{j}, {i}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+            ).alias(f"s_{j}_{i}")
+            for j in range(SIMHASH_WORDS)
+            for i in range(SIMHASH_WORD_BITS)
+        ]
+    )
+    return bit_sums.selectExpr(
+        "doc_id",
+        *[
+            "CAST("
+            + " + ".join(
+                f"(CASE WHEN s_{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(SIMHASH_WORD_BITS)
+            )
+            + f" AS BIGINT) AS w_{j}"
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+
+
+def test_simhash_mapside_matches_grouped(spark):
+    """The r9 zero-exchange SimHash (aggregate over the token array,
+    sign test 2*ones - n) equals the exploded/grouped +1/-1 sum shape
+    word-for-word — including sign ties (even token counts where the
+    bit sum is exactly 0), within-doc repetition, and 1-token docs."""
+    from edu_data_pipeline_spark.suite.scale_suite import _simhash_words_df
+
+    rng = random.Random(909)
+    vocab = ["a", "b", "cc", "ddd", "the", "zz", "q1", "w2"]
+    fuzz = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 40)))
+        for _ in range(150)
+    ]
+    # tie-prone docs: even counts of identical tokens force bit sums of 0
+    crafted = ["a a", "a a a a", "a b a b", "", "x", " padded "]
+    d = _docs(spark, CRAFTED + crafted + fuzz)
+    got = {tuple(r) for r in _simhash_words_df(d).collect()}
+    want = {tuple(r) for r in _simhash_words_grouped(d).collect()}
+    assert got == want
+
+
+def test_simhash_mapside_plan_has_no_exchange(spark):
+    """docs_simhash's words are per-document expressions — the executed
+    plan must contain no Exchange at all (the r9 claim SCALE.md records:
+    sh/in 1.6 -> 0 for the fingerprint query)."""
+    from edu_data_pipeline_spark.suite.scale_suite import _simhash_words_df
+
+    d = _docs(spark, CRAFTED)
+    plan = _simhash_words_df(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# r9: dup-fingerprint Bloom pre-filter (docs_dup_spans / _ranges)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_gram_prefilter_no_false_negatives(spark):
+    """The Bloom pre-filter may only DROP non-duplicated instances:
+    after the exact semi-join, per-doc dup counts must equal the
+    unfiltered reference exactly — on a corpus with real cross-doc
+    dup spans, unique docs, and short docs."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        DUP_SPAN_K,
+        _distinct_sk_rows,
+        _dup_gram_prefilter,
+    )
+
+    rng = random.Random(911)
+    vocab = [f"t{i}" for i in range(60)]
+    shared = " ".join(vocab[i % 60] for i in range(12))  # a 12-token span
+    texts = []
+    for i in range(40):
+        salt = " ".join(f"u{i}x{k}" for k in range(rng.randrange(6, 20)))
+        # half the docs embed the shared span -> its 8-grams have df >= 2
+        texts.append(f"{shared} {salt}" if i % 2 == 0 else salt)
+    texts += ["a b c", ""]  # too short for 8-grams
+    d = _docs(spark, texts)
+
+    grams = gram_rows(d, DUP_SPAN_K, out="g").select(
+        "doc_id", _gram_key64(F.col("g")).alias("gk")
+    )
+    gdf = (
+        _distinct_sk_rows(d, k=DUP_SPAN_K)
+        .groupBy("sk")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+
+    def counts(left):
+        return {
+            r["doc_id"]: r["n"]
+            for r in left.join(dup_keys, "gk", "semi")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    got = counts(_dup_gram_prefilter(grams, dup_keys))
+    want = counts(grams)
+    assert want  # the crafted corpus must actually contain dup spans
+    assert got == want
+    # and the filter genuinely cuts: the surviving instance stream must
+    # be smaller than the full gram stream (salted docs are unique)
+    kept = _dup_gram_prefilter(grams, dup_keys).count()
+    assert kept < grams.count()

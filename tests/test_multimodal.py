@@ -92,3 +92,34 @@ def test_features_shuffle_invariant(spark):
     for doc_id, _, n_bytes, feats in base:
         assert list(feats) == multimodal._decode_fake(payloads[doc_id])
         assert n_bytes == len(payloads[doc_id])
+
+
+def test_features_exact_twin_matches_arrow_path(spark, tmp_path):
+    """multimodal_features_exact (native, oracle-checked) must equal the
+    Arrow mapInPandas path row-for-row — this transfers the driver's
+    hash check onto the Arrow plumbing (VERDICT r8 next-round #5).
+    Includes an empty doc (n_bytes 0 -> bin_0 0, mass 0) and non-ascii
+    text (multi-byte utf-8 payload)."""
+    from edu_data_pipeline_spark.suite import load_all
+
+    reg = load_all()
+    rows = [
+        (0, "", "en", "src", 0),
+        (1, "plain ascii text 0123", "en", "src", 21),
+        (2, "unicode éü中文 bytes", "en", "src", 18),
+        (3, "doc text number 3 " * 4, "en", "src", 72),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "mmx")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        r["doc_id"]: (r["media_type"], r["n_bytes"], r["bin_0"], r["feature_mass"])
+        for r in reg["multimodal_features_exact"].fn(spark, sf_dir).collect()
+    }
+    arrow = {
+        r["doc_id"]: (r["media_type"], r["n_bytes"], r["bin_0"], r["feature_mass"])
+        for r in reg["multimodal_features"].fn(spark, sf_dir).collect()
+    }
+    assert exact == arrow
