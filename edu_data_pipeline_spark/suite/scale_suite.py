@@ -1144,39 +1144,85 @@ _SQL_SIMHASH_WORDS = f"""
 
 
 def _simhash_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc 64-bit SimHash as four 16-bit words (w_0..w_3), built
-    entirely MAP-SIDE (r9, extending the r8c array-algebra treatment).
+    """Per-doc 64-bit SimHash as four 16-bit words (w_0..w_3).
 
-    A document's tokens come from its own row, so the 64 per-bit
-    +1/-1 sums need no exchange at all: the r1-r8 shape exploded the
-    token stream and re-grouped it on doc_id — map-side partial
-    aggregation kept the shuffle small (one 64-long row per doc) but
-    still token-keyed work through an exchange (measured sh/in 1.6,
-    266 TB projected at 100 TB). Here the per-bit ONES counts are one
-    ``aggregate`` over the token array (one md5 + 4 conv per token,
-    then 64 adds via zip_with against a per-token bit array), and the
-    sign test uses 2*ones - n_tokens, algebraically identical to the
-    +1/-1 sum. ``explode(array(...))`` binds the ones array once
-    (Generate barrier — Catalyst's projection collapse would otherwise
-    re-inline the aggregate into all 64 word-bit references, the
-    gram_rows trap documented at _doc_distinct_gram_arrays).
-    docs_simhash is now a pure scan-project (zero exchanges); the
-    near-pair queries' only exchanges are their band self-joins.
+    Shape choice is a MEASURED trade (r9): a zero-exchange map-side
+    variant exists (:func:`_simhash_words_mapside` — the per-bit sums
+    as one ``aggregate`` over the token array) and was equivalence-
+    pinned and benchmarked, but higher-order-function lambdas evaluate
+    INTERPRETED while this exploded shape's per-token hashing and the
+    hash-aggregate partials run inside whole-stage codegen: measured at
+    sf0.1, the map-side variant cut shuffle 1.62 -> 0.01 of input yet
+    cost 1.96x wall on docs_simhash and 2.7x on simhash_near_pairs
+    (which evaluates the words subtree twice). The exchange this shape
+    keeps is ONE 64-long row per document (map-side combined, ~512 B/
+    doc — sh/in 1.6 on the toy table only because its compressed docs
+    average ~120 B; at production document sizes it is <= 0.25 of
+    input, ~5 TB per 100 TB), while SimHash's dominant cost at every
+    scale is the per-token CPU — so codegen wins the operator. The
+    map-side variant stays in-tree, equivalence-tested, as the
+    documented negative result (SCALE.md r9a).
 
-    The 64-term word recombination stays a parsed SQL string
-    (selectExpr), not nested Python Columns: one parse call replaces
-    ~6 Py4J round-trips per node (VERDICT r1 #5) — fixed driver
-    latency, not per-row work. The oracle keeps the exploded
-    bit-sum shape; the crafted equivalence test
-    (tests/test_doc_gram_arrays.py) pins this rewrite against the
-    grouped reference shape element-for-element.
+    The 64 per-bit sum aggregates and the 64-term word recombination
+    are built as parsed SQL strings (selectExpr / expr), not nested
+    Python Column operations: the expressions are identical, but one
+    parse call per expression replaces ~6 Py4J round-trips per operator
+    node, which cut this plan's driver-side construction cost from
+    ~1.3 s to ~0.1 s (VERDICT r1 #5). Scale-independent either way —
+    this is fixed latency, not per-row work.
     """
     return _simhash_words_df(table(spark, sf_dir, "documents"))
 
 
 def _simhash_words_df(d: DataFrame) -> DataFrame:
     """DataFrame-level body of :func:`_simhash_words` (split out so the
-    crafted-corpus equivalence test can run it on synthetic docs)."""
+    crafted-corpus equivalence test can run both shapes on synthetic
+    docs): exploded tokens -> codegen per-token hashing -> 64 partial
+    +1/-1 sums through one doc_id exchange -> word recombination."""
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    hashed = toks.selectExpr(
+        "doc_id",
+        *[
+            f"CAST(conv(substring(md5(t), {1 + 4 * j}, 4), 16, 10) AS BIGINT)"
+            f" AS h_{j}"
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h_{j}, {i}) & 1) = 1"
+                " THEN 1 ELSE -1 END)"
+            ).alias(f"s_{j}_{i}")
+            for j in range(SIMHASH_WORDS)
+            for i in range(SIMHASH_WORD_BITS)
+        ]
+    )
+    return bit_sums.selectExpr(
+        "doc_id",
+        *[
+            "CAST("
+            + " + ".join(
+                f"(CASE WHEN s_{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+                for i in range(SIMHASH_WORD_BITS)
+            )
+            + f" AS BIGINT) AS w_{j}"
+            for j in range(SIMHASH_WORDS)
+        ],
+    )
+
+
+def _simhash_words_mapside(d: DataFrame) -> DataFrame:
+    """Zero-exchange SimHash variant — kept as a MEASURED NEGATIVE
+    RESULT, not the registry path (see :func:`_simhash_words` for the
+    numbers). Per-bit ONES counts fold over the token array (one md5 +
+    4 conv per token, 64 zip_with adds); the sign test 2*ones - n is
+    the +1/-1 sum algebraically. ``explode(array(...))`` binds the
+    ones array once (Generate barrier — projection collapse would
+    otherwise re-inline the fold into all 64 word-bit references, the
+    gram_rows trap at _doc_distinct_gram_arrays). Equivalence is
+    pinned word-for-word vs the grouped shape, sign ties included
+    (tests/test_doc_gram_arrays.py)."""
     toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
     # per-token 4-word hash values: ONE md5 per token, bound by its own
     # transform so the 4 conv()s read the same hex (no re-hash per word)

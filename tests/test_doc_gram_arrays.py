@@ -237,54 +237,19 @@ def _cdc_on_frame(spark, d):
 # ---------------------------------------------------------------------------
 
 
-def _simhash_words_grouped(d):
-    """The r1-r8 SimHash shape, kept verbatim as the test reference:
-    explode the token stream, 64 per-bit +1/-1 sums through a
-    groupBy(doc_id) exchange, then recombine the four 16-bit words."""
-    from edu_data_pipeline_spark.suite.scale_suite import (
-        SIMHASH_WORD_BITS,
-        SIMHASH_WORDS,
-    )
-
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
-    hashed = toks.selectExpr(
-        "doc_id",
-        *[
-            f"CAST(conv(substring(md5(t), {1 + 4 * j}, 4), 16, 10) AS BIGINT)"
-            f" AS h_{j}"
-            for j in range(SIMHASH_WORDS)
-        ],
-    )
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.expr(
-                f"sum(CASE WHEN (shiftright(h_{j}, {i}) & 1) = 1"
-                " THEN 1 ELSE -1 END)"
-            ).alias(f"s_{j}_{i}")
-            for j in range(SIMHASH_WORDS)
-            for i in range(SIMHASH_WORD_BITS)
-        ]
-    )
-    return bit_sums.selectExpr(
-        "doc_id",
-        *[
-            "CAST("
-            + " + ".join(
-                f"(CASE WHEN s_{j}_{i} > 0 THEN {1 << i} ELSE 0 END)"
-                for i in range(SIMHASH_WORD_BITS)
-            )
-            + f" AS BIGINT) AS w_{j}"
-            for j in range(SIMHASH_WORDS)
-        ],
-    )
-
-
 def test_simhash_mapside_matches_grouped(spark):
-    """The r9 zero-exchange SimHash (aggregate over the token array,
-    sign test 2*ones - n) equals the exploded/grouped +1/-1 sum shape
-    word-for-word — including sign ties (even token counts where the
-    bit sum is exactly 0), within-doc repetition, and 1-token docs."""
-    from edu_data_pipeline_spark.suite.scale_suite import _simhash_words_df
+    """The zero-exchange SimHash variant (aggregate over the token
+    array, sign test 2*ones - n) equals the registry's exploded/grouped
+    +1/-1 sum shape word-for-word — including sign ties (even token
+    counts where the bit sum is exactly 0), within-doc repetition, and
+    1-token docs. The variant is a measured NEGATIVE result (kept off
+    the registry path: interpreted lambdas cost ~2x wall vs codegen,
+    see _simhash_words' docstring / SCALE.md r9a); this pin is what
+    makes the recorded measurement a comparison of equals."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        _simhash_words_df,
+        _simhash_words_mapside,
+    )
 
     rng = random.Random(909)
     vocab = ["a", "b", "cc", "ddd", "the", "zz", "q1", "w2"]
@@ -295,19 +260,23 @@ def test_simhash_mapside_matches_grouped(spark):
     # tie-prone docs: even counts of identical tokens force bit sums of 0
     crafted = ["a a", "a a a a", "a b a b", "", "x", " padded "]
     d = _docs(spark, CRAFTED + crafted + fuzz)
-    got = {tuple(r) for r in _simhash_words_df(d).collect()}
-    want = {tuple(r) for r in _simhash_words_grouped(d).collect()}
+    got = {tuple(r) for r in _simhash_words_mapside(d).collect()}
+    want = {tuple(r) for r in _simhash_words_df(d).collect()}
     assert got == want
 
 
 def test_simhash_mapside_plan_has_no_exchange(spark):
-    """docs_simhash's words are per-document expressions — the executed
-    plan must contain no Exchange at all (the r9 claim SCALE.md records:
-    sh/in 1.6 -> 0 for the fingerprint query)."""
-    from edu_data_pipeline_spark.suite.scale_suite import _simhash_words_df
+    """The variant's defining property — per-document expressions, no
+    Exchange anywhere in the executed plan (what it buys; its wall cost
+    is why it is not the registry path)."""
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        _simhash_words_mapside,
+    )
 
     d = _docs(spark, CRAFTED)
-    plan = _simhash_words_df(d)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        _simhash_words_mapside(d)._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Exchange" not in plan
 
 
