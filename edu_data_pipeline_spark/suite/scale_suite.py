@@ -27,7 +27,7 @@ import functools as _functools
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.testdata import table
+from ..sources.testdata import metadata_row_count, table
 from . import (
     davg,
     dround,
@@ -3102,6 +3102,25 @@ DUP_SPAN_K = 8  # tokens per gram
 # semi-join still rescreens every surviving instance).
 DUP_BLOOM_M_BITS = 1 << 20
 
+# Activation crossover for the pre-filter, decided from the parquet
+# footer row count (metadata-only, zero Spark jobs — the adaptive-width
+# pattern of docs_epoch_order). The filter pays exactly when the df>=2
+# key set outgrows a broadcast: below ~10 MB (~500k 8-byte keys plus
+# row overhead) AQE broadcasts the semi-join's dup side and the gram-
+# instance stream NEVER shuffles — the filter would only add its fixed
+# costs (bitmap job + BLOOM_K broadcast materializations + two cache
+# writes: measured +2.1 s per run at sf0.1, a constant, not a slope).
+# Above it the semi-join goes sort-merge and the un-filtered left side
+# becomes a gram-volume exchange (the r8 774 TB row). 1M docs with
+# >= 10% duplication at >= 50 grams/doc already yields >= 5M dup keys,
+# comfortably past the broadcast limit, so the threshold is set an
+# order of magnitude BELOW the crossover corpus — the filter can only
+# arrive early, never late. Both paths return byte-identical rows
+# (no-false-negative property + the exact semi-join), pinned by
+# tests/test_doc_gram_arrays.py on the filter itself and on the
+# registry conditional end-to-end.
+DUP_BLOOM_MIN_DOCS = 1_000_000
+
 
 def _dup_gram_prefilter(grams: DataFrame, dup_keys: DataFrame) -> DataFrame:
     """MAP-SIDE Bloom screen over a gram-INSTANCE stream: keep only
@@ -3115,53 +3134,39 @@ def _dup_gram_prefilter(grams: DataFrame, dup_keys: DataFrame) -> DataFrame:
     semi-join returns byte-identical rows; the oracle needs no twin of
     this filter.
 
-    Probe shape: the bitmap is densified into ONE array row (m/32
-    longs) and crossJoined broadcast — the whole membership test is
-    then BLOOM_K element_at + shift expressions per instance, no join
-    machinery at all. (A first cut reused bloom_gram_flags' three
-    per-hash broadcast joins; their subtrees differ by alias so
-    ReuseExchange never fired and the bitmap aggregate ran BLOOM_K
-    times — measured +1.3 MB shuffle at sf0.1, erasing the win.)
-    Build cost is one bounded aggregation (<= m/32 = 32768 (word,
-    mask) rows through bit_or partials) plus a single-row broadcast of
-    the m/8-byte array; nothing here shuffles gram volume. At 100 TB
-    the bitmap is sized ~10 bits per expected dup fingerprint — a
-    1e9-key dup vocabulary wants ~1.25 GB, still one broadcast where
-    the alternative was shuffling every gram instance."""
-    from .curation_suite import _BLOOM_H2_MOD, BLOOM_K, bloom_bitmap
+    Probe shape: BLOOM_K broadcast hash joins of the instance stream
+    against the SPARSE (word_idx, word) bitmap — bloom_gram_flags'
+    codegen path — with the bitmap tracked-persisted so its bounded
+    aggregation (<= m/32 = 32768 rows through bit_or partials) runs
+    ONCE even though the three per-hash broadcast subtrees differ by
+    alias and ReuseExchange therefore never unifies them (measured:
+    un-persisted, the aggregate ran BLOOM_K times, +1.3 MB shuffle at
+    sf0.1). A densified-array variant — the whole bitmap as one m/32-
+    long array row, crossJoin broadcast, pure element_at probe — was
+    also built and MEASURED 30x SLOWER (65.6 s vs 2.1 s at sf0.1):
+    Catalyst map lookup is a linear scan, so map_from_arrays + m/32
+    element_at densification is quadratic in the bitmap, and the
+    giant array column rides every probe row through the join. Sparse
+    + hash joins is the shape that stays codegen end-to-end. Nothing
+    here shuffles gram volume: the probe side is map-side broadcast,
+    and at 100 TB the bitmap is sized ~10 bits per expected dup
+    fingerprint (a 1e9-key dup vocabulary wants a ~1.25 GB bitmap =
+    ~33M sparse rows, still broadcast-able where the alternative was
+    shuffling every gram instance)."""
+    from .curation_suite import bloom_bitmap, bloom_gram_flags
 
-    n_words = DUP_BLOOM_M_BITS // 32
-    vec = (
+    bitmap = persist_tracked(
         bloom_bitmap(
             dup_keys.select(F.col("gk").alias("sk")), m_bits=DUP_BLOOM_M_BITS
         )
-        .agg(
-            F.map_from_arrays(
-                F.collect_list("word_idx"), F.collect_list("word")
-            ).alias("bm")
-        )
-        .select(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_words - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("bm"), i.cast("long")), F.lit(0)
-                ),
-            ).alias("_bloom_words")
-        )
     )
-    probe = " AND ".join(
-        f"((shiftright(element_at(_bloom_words, CAST({pos} div 32 AS INT) + 1),"
-        f" CAST({pos} % 32 AS INT)) & 1) = 1)"
-        for j in range(BLOOM_K)
-        for pos in [
-            f"((shiftright(gk, 28) + {j} * (gk & {_BLOOM_H2_MOD - 1}))"
-            f" % {DUP_BLOOM_M_BITS})"
-        ]
+    flagged = bloom_gram_flags(
+        grams.withColumnRenamed("gk", "sk"), bitmap, m_bits=DUP_BLOOM_M_BITS
     )
     return (
-        grams.crossJoin(F.broadcast(vec))
-        .where(F.expr(probe))
-        .drop("_bloom_words")
+        flagged.where(F.col("bloom_pos"))
+        .drop("bloom_pos")
+        .withColumnRenamed("sk", "gk")
     )
 
 
@@ -3224,28 +3229,31 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    # dup_keys is consumed TWICE (Bloom bitmap build + exact semi-join
-    # right side); tracked-persist it so the df aggregation — whose
-    # exchange is vocabulary-bounded, i.e. ~gram-volume on a mostly-
-    # unique corpus — runs once (measured: without the cache the two
-    # consumers each re-ran it; ReuseExchange did not fire across the
-    # broadcast-stage boundary and sh/in DOUBLED). The cached frame is
-    # dup-bounded: one 8-byte fingerprint per DUPLICATED gram.
-    dup_keys = persist_tracked(
-        gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
-    )
+    # r9: past the broadcast crossover (footer row count, zero jobs) a
+    # Bloom of the dup fingerprints pre-filters the instance stream
+    # MAP-SIDE, so the semi-join exchange carries only plausibly-
+    # duplicated instances (+ ~1.6% FP) instead of every gram instance;
+    # below it AQE broadcasts the dup side, the left never shuffles,
+    # and the filter would only add its fixed costs (see
+    # DUP_BLOOM_MIN_DOCS). When active, dup_keys is tracked-persisted:
+    # it feeds TWO consumers (bitmap build + semi-join right side) and
+    # ReuseExchange does not fire across the broadcast-stage boundary —
+    # un-cached, the vocabulary df aggregation ran twice and sh/in
+    # DOUBLED. The cached frame is dup-bounded: one 8-byte fingerprint
+    # per DUPLICATED gram. Both paths return byte-identical rows (the
+    # filter has no false negatives and the exact semi-join rescreens
+    # survivors).
+    use_bloom = metadata_row_count(sf_dir, "documents") >= DUP_BLOOM_MIN_DOCS
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    if use_bloom:
+        dup_keys = persist_tracked(dup_keys)
+    left = _dup_gram_prefilter(grams, dup_keys) if use_bloom else grams
     # n_grams is arithmetic on the token count — no gram rows shuffled
-    # for it. r9: a broadcast Bloom of the dup fingerprints pre-filters
-    # the instance stream MAP-SIDE, so the semi-join exchange carries
-    # only plausibly-duplicated instances (+ ~1.6% FP) instead of every
-    # gram instance — the filter has no false negatives and the exact
-    # semi-join rescreens survivors, so rows are byte-identical.
     n_grams = d.select(
         "doc_id", (F.size(_tokens(F.col("text"))) - (DUP_SPAN_K - 1)).alias("n_grams")
     ).where(F.col("n_grams") >= 1)
     dup_counts = (
-        _dup_gram_prefilter(grams, dup_keys)
-        .join(dup_keys, "gk", "semi")
+        left.join(dup_keys, "gk", "semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_grams"))
     )
@@ -3351,18 +3359,15 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    # tracked-persisted: consumed by both the bitmap build and the
-    # semi-join (see docs_dup_spans for the measured why)
-    dup_keys = persist_tracked(
-        gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
-    )
-    # r9: broadcast-Bloom pre-filter (see docs_dup_spans) — only
-    # plausibly-duplicated positions enter the semi-join exchange
-    dup_pos = (
-        _dup_gram_prefilter(grams, dup_keys)
-        .join(dup_keys, "gk", "semi")
-        .select("doc_id", "pos")
-    )
+    # r9: broadcast-Bloom pre-filter past the broadcast crossover,
+    # plain semi-join below it (see docs_dup_spans for the measured
+    # why and the DUP_BLOOM_MIN_DOCS constant for the threshold)
+    use_bloom = metadata_row_count(sf_dir, "documents") >= DUP_BLOOM_MIN_DOCS
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    if use_bloom:
+        dup_keys = persist_tracked(dup_keys)
+    left = _dup_gram_prefilter(grams, dup_keys) if use_bloom else grams
+    dup_pos = left.join(dup_keys, "gk", "semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(
         "new_island",

@@ -334,3 +334,35 @@ def test_dup_gram_prefilter_no_false_negatives(spark):
     # be smaller than the full gram stream (salted docs are unique)
     kept = _dup_gram_prefilter(grams, dup_keys).count()
     assert kept < grams.count()
+
+
+def test_dup_span_bloom_path_equals_plain_path(spark, tmp_path, monkeypatch):
+    """The DUP_BLOOM_MIN_DOCS conditional must be invisible in results:
+    forcing the Bloom path (threshold 0) and forcing the plain path
+    (threshold infinity) on the same corpus yields identical rows for
+    both registry queries — the end-to-end pin of the activation
+    wiring, complementing the filter-level no-false-negative test."""
+    from edu_data_pipeline_spark.suite import scale_suite
+
+    rng = random.Random(913)
+    vocab = [f"t{i}" for i in range(40)]
+    shared = " ".join(vocab[i % 40] for i in range(15))
+    texts = []
+    for i in range(30):
+        salt = " ".join(f"u{i}x{k}" for k in range(rng.randrange(8, 24)))
+        texts.append(f"{salt} {shared}" if i % 3 == 0 else salt)
+    d = _docs(spark, texts)
+    sf_dir = str(tmp_path / "dupcond")
+    d.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    out = {}
+    for tag, threshold in (("bloom", 0), ("plain", 1 << 60)):
+        monkeypatch.setattr(scale_suite, "DUP_BLOOM_MIN_DOCS", threshold)
+        out[tag] = {
+            name: sorted(
+                map(tuple, REGISTRY[name].fn(spark, sf_dir).collect())
+            )
+            for name in ("docs_dup_spans", "docs_dup_span_ranges")
+        }
+    assert out["bloom"] == out["plain"]
+    assert out["bloom"]["docs_dup_spans"]  # corpus actually has dup spans
