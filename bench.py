@@ -202,9 +202,18 @@ def main() -> None:
     # min-of-2 left round-over-round regressions unattributable (r1 #8).
     best: dict[str, float] = {}
     iter_totals: list[float] = []  # per-iteration suite totals (spread evidence)
+    # Per-iteration host attribution (r9): the full warmup pass did NOT
+    # bring spread under 10% — r9's first timed iterations stayed slow
+    # under 1.6% CPU steal (vs 0.45% in the r8 row), so the spread is
+    # environmental, not warmth. Recording busy/steal PER ITERATION
+    # makes intra-run drift attributable from the artifact alone: a slow
+    # iteration with elevated steal is host noise; one without is ours.
+    iter_hosts: list[dict[str, float]] = []
     stat_before = _proc_stat()
     wall_start = time.perf_counter()
     for _ in range(N_RUNS):
+        iter_stat0 = _proc_stat()
+        iter_wall0 = time.perf_counter()
         iter_total = 0.0
         for name in names:
             start = time.perf_counter()
@@ -223,6 +232,11 @@ def main() -> None:
             release_caches()
             spark.catalog.clearCache()
         iter_totals.append(round(iter_total, 3))
+        h = _host_conditions(
+            iter_stat0, _proc_stat(), time.perf_counter() - iter_wall0
+        )
+        h.pop("loadavg_1m", None)  # run-level load is enough
+        iter_hosts.append(h)
     # Calibration tier: timed with the same protocol, excluded from the
     # headline total and the queries map.
     cal_best: dict[str, float] = {}
@@ -256,6 +270,7 @@ def main() -> None:
         "n": N_RUNS,
         "set_version": SET_VERSION,
         "iter_totals": iter_totals,
+        "iter_hosts": iter_hosts,
         "warmup_total": warmup_total,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),

@@ -3089,18 +3089,38 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DUP_SPAN_K = 8  # tokens per gram
 
-# Bitmap size for the dup-fingerprint Bloom PRE-FILTER (r9, VERDICT r8
-# next-round #1). Bigger than the eval-set screen's 2^17: the key set
-# here is the corpus's DUPLICATED gram vocabulary (df >= 2), not a
-# fixed eval set. 2^20 bits = 32768 x 32-bit words (128 KiB broadcast)
-# holds ~10^5 keys at fill 1-exp(-3n/m) ~ 0.25, FP ~ 1.6%. Sizing rule
-# at scale: m ~ 10 bits per expected dup fingerprint keeps FP ~ 1-2%
-# with k=3 — a 1e9-key dup vocabulary wants a ~1.25 GB bitmap, still a
-# broadcast where the alternative was shuffling the full gram-instance
-# stream (774 TB projected at 100 TB before this filter). FP rate only
-# moderates how much the filter saves — never correctness (the exact
-# semi-join still rescreens every surviving instance).
-DUP_BLOOM_M_BITS = 1 << 20
+# Bloom PRE-FILTER sizing for the dup-span family (r9, VERDICT r8
+# next-round #1; activation-scale saturation found in r9 self-review).
+# The key set is the corpus's DUPLICATED gram vocabulary (df >= 2) —
+# it grows with the corpus, so a FIXED bitmap saturates exactly when
+# the filter matters (a first cut pinned m = 2^20: at the 1M-doc
+# activation scale that is ~0.2 bits per dup key, fill ~ 1.0, FP ~
+# 100% — the filter would keep everything and be pure overhead). m is
+# therefore derived from the same parquet footer row count the
+# activation gate reads: DUP_BLOOM_BITS_PER_DOC = 64 bits/doc gives
+# ~13 bits per dup key under the conservative density assumption of
+# ~5 dup keys/doc (10% duplication x ~50 grams/doc) -> FP ~ 1% with
+# k=3, and still a ~68% cut at 5x heavier duplication. Floor 2^20
+# (128 KiB — the always-cheap regime) and cap 2^33 (1 GiB bitmap =
+# 268M sparse words; bloom_gram_flags force-broadcasts, so the 10 MB
+# autoBroadcast threshold does not bind): past ~134M docs the cap
+# holds the broadcast bounded and the filter's selectivity decays
+# gracefully — correctness never depends on FP (the exact semi-join
+# rescreens every surviving instance); beyond that the knob is
+# sharding the screen, documented not implemented.
+DUP_BLOOM_BITS_PER_DOC = 64
+DUP_BLOOM_MIN_M_BITS = 1 << 20
+DUP_BLOOM_MAX_M_BITS = 1 << 33
+
+
+def _dup_bloom_m_bits(n_docs: int) -> int:
+    """Footer-derived bitmap size: 64 bits/doc, clamped, 32-aligned."""
+    m = min(
+        max(DUP_BLOOM_MIN_M_BITS, DUP_BLOOM_BITS_PER_DOC * n_docs),
+        DUP_BLOOM_MAX_M_BITS,
+    )
+    return (m + 31) & ~31
+
 
 # Activation crossover for the pre-filter, decided from the parquet
 # footer row count (metadata-only, zero Spark jobs — the adaptive-width
@@ -3111,18 +3131,24 @@ DUP_BLOOM_M_BITS = 1 << 20
 # costs (bitmap job + BLOOM_K broadcast materializations + two cache
 # writes: measured +2.1 s per run at sf0.1, a constant, not a slope).
 # Above it the semi-join goes sort-merge and the un-filtered left side
-# becomes a gram-volume exchange (the r8 774 TB row). 1M docs with
-# >= 10% duplication at >= 50 grams/doc already yields >= 5M dup keys,
-# comfortably past the broadcast limit, so the threshold is set an
-# order of magnitude BELOW the crossover corpus — the filter can only
-# arrive early, never late. Both paths return byte-identical rows
-# (no-false-negative property + the exact semi-join), pinned by
-# tests/test_doc_gram_arrays.py on the filter itself and on the
-# registry conditional end-to-end.
-DUP_BLOOM_MIN_DOCS = 1_000_000
+# becomes a gram-volume exchange (the r8 774 TB row). Crossover
+# arithmetic (direction fixed in r9 self-review — a first cut placed
+# the threshold at 1M docs, ABOVE the crossover for duplication-heavy
+# corpora): ~500k dup keys is reached by ~100k docs at 10% duplication
+# x ~50 grams/doc, and heavier duplication crosses even earlier, so
+# the threshold sits AT the plausible crossover floor — a dup-light
+# corpus past it merely pays the (broadcast-cheap) filter a little
+# early; a dup-heavy corpus below it has < 100k docs x grams/doc dup
+# instances, small enough that even a sort-merge fallback is bounded.
+# Both paths return byte-identical rows (no-false-negative property +
+# the exact semi-join), pinned by tests/test_doc_gram_arrays.py on the
+# filter itself and on the registry conditional end-to-end.
+DUP_BLOOM_MIN_DOCS = 100_000
 
 
-def _dup_gram_prefilter(grams: DataFrame, dup_keys: DataFrame) -> DataFrame:
+def _dup_gram_prefilter(
+    grams: DataFrame, dup_keys: DataFrame, m_bits: int = DUP_BLOOM_MIN_M_BITS
+) -> DataFrame:
     """MAP-SIDE Bloom screen over a gram-INSTANCE stream: keep only
     instances whose fingerprint is plausibly in ``dup_keys`` (the
     df >= 2 set), so the dup-span family's semi-join exchange carries
@@ -3157,17 +3183,43 @@ def _dup_gram_prefilter(grams: DataFrame, dup_keys: DataFrame) -> DataFrame:
 
     bitmap = persist_tracked(
         bloom_bitmap(
-            dup_keys.select(F.col("gk").alias("sk")), m_bits=DUP_BLOOM_M_BITS
+            dup_keys.select(F.col("gk").alias("sk")), m_bits=m_bits
         )
     )
     flagged = bloom_gram_flags(
-        grams.withColumnRenamed("gk", "sk"), bitmap, m_bits=DUP_BLOOM_M_BITS
+        grams.withColumnRenamed("gk", "sk"), bitmap, m_bits=m_bits
     )
     return (
         flagged.where(F.col("bloom_pos"))
         .drop("bloom_pos")
         .withColumnRenamed("sk", "gk")
     )
+
+
+def _dup_span_sides(
+    sf_dir: str, grams: DataFrame, gdf: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(left, dup_keys) for the dup-span family's exact semi-join —
+    the ONE place the Bloom activation gate lives, so docs_dup_spans
+    and docs_dup_span_ranges can never drift (r9 self-review).
+
+    Past the broadcast crossover (footer row count, zero jobs —
+    DUP_BLOOM_MIN_DOCS) the instance stream is Bloom-pre-filtered with
+    a bitmap SIZED from the same count (_dup_bloom_m_bits), and
+    dup_keys is tracked-persisted because it feeds two consumers
+    (bitmap build + semi-join right side; ReuseExchange does not fire
+    across the broadcast-stage boundary — un-cached, the vocabulary df
+    aggregation ran twice and sh/in doubled). Below the crossover AQE
+    broadcasts the dup side and the left never shuffles, so the plain
+    stream skips the filter's fixed costs (measured +2.1 s/run at
+    sf0.1). Both paths return byte-identical rows downstream."""
+    n_docs = metadata_row_count(sf_dir, "documents")
+    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
+    if n_docs < DUP_BLOOM_MIN_DOCS:
+        return grams, dup_keys
+    dup_keys = persist_tracked(dup_keys)
+    left = _dup_gram_prefilter(grams, dup_keys, m_bits=_dup_bloom_m_bits(n_docs))
+    return left, dup_keys
 
 
 # 60-bit gram fingerprint: the two gram-keyed exchanges of the dup-span
@@ -3229,25 +3281,10 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    # r9: past the broadcast crossover (footer row count, zero jobs) a
-    # Bloom of the dup fingerprints pre-filters the instance stream
-    # MAP-SIDE, so the semi-join exchange carries only plausibly-
-    # duplicated instances (+ ~1.6% FP) instead of every gram instance;
-    # below it AQE broadcasts the dup side, the left never shuffles,
-    # and the filter would only add its fixed costs (see
-    # DUP_BLOOM_MIN_DOCS). When active, dup_keys is tracked-persisted:
-    # it feeds TWO consumers (bitmap build + semi-join right side) and
-    # ReuseExchange does not fire across the broadcast-stage boundary —
-    # un-cached, the vocabulary df aggregation ran twice and sh/in
-    # DOUBLED. The cached frame is dup-bounded: one 8-byte fingerprint
-    # per DUPLICATED gram. Both paths return byte-identical rows (the
-    # filter has no false negatives and the exact semi-join rescreens
-    # survivors).
-    use_bloom = metadata_row_count(sf_dir, "documents") >= DUP_BLOOM_MIN_DOCS
-    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
-    if use_bloom:
-        dup_keys = persist_tracked(dup_keys)
-    left = _dup_gram_prefilter(grams, dup_keys) if use_bloom else grams
+    # r9: Bloom pre-filter past the broadcast crossover, plain stream
+    # below it — gate, sizing, and the dup_keys cache live in ONE
+    # helper shared with docs_dup_span_ranges (_dup_span_sides)
+    left, dup_keys = _dup_span_sides(sf_dir, grams, gdf)
     # n_grams is arithmetic on the token count — no gram rows shuffled
     n_grams = d.select(
         "doc_id", (F.size(_tokens(F.col("text"))) - (DUP_SPAN_K - 1)).alias("n_grams")
@@ -3359,14 +3396,9 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    # r9: broadcast-Bloom pre-filter past the broadcast crossover,
-    # plain semi-join below it (see docs_dup_spans for the measured
-    # why and the DUP_BLOOM_MIN_DOCS constant for the threshold)
-    use_bloom = metadata_row_count(sf_dir, "documents") >= DUP_BLOOM_MIN_DOCS
-    dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
-    if use_bloom:
-        dup_keys = persist_tracked(dup_keys)
-    left = _dup_gram_prefilter(grams, dup_keys) if use_bloom else grams
+    # r9: Bloom pre-filter past the broadcast crossover, plain stream
+    # below it — gate, sizing, and cache shared via _dup_span_sides
+    left, dup_keys = _dup_span_sides(sf_dir, grams, gdf)
     dup_pos = left.join(dup_keys, "gk", "semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup_pos.withColumn(

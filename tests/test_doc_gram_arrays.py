@@ -16,7 +16,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from edu_data_pipeline_spark.suite import load_all
+from edu_data_pipeline_spark.suite import load_all, release_caches
 from edu_data_pipeline_spark.suite.scale_suite import (
     CDC_MODULUS,
     _doc_distinct_gram_arrays,
@@ -326,14 +326,17 @@ def test_dup_gram_prefilter_no_false_negatives(spark):
             .collect()
         }
 
-    got = counts(_dup_gram_prefilter(grams, dup_keys))
+    filtered = _dup_gram_prefilter(grams, dup_keys)
+    got = counts(filtered)
     want = counts(grams)
     assert want  # the crafted corpus must actually contain dup spans
     assert got == want
     # and the filter genuinely cuts: the surviving instance stream must
     # be smaller than the full gram stream (salted docs are unique)
-    kept = _dup_gram_prefilter(grams, dup_keys).count()
-    assert kept < grams.count()
+    assert filtered.count() < grams.count()
+    # the prefilter tracked-persists its bitmap — release it so this
+    # test's caches never squeeze later tests in the shared session
+    release_caches()
 
 
 def test_dup_span_bloom_path_equals_plain_path(spark, tmp_path, monkeypatch):
@@ -366,3 +369,33 @@ def test_dup_span_bloom_path_equals_plain_path(spark, tmp_path, monkeypatch):
         }
     assert out["bloom"] == out["plain"]
     assert out["bloom"]["docs_dup_spans"]  # corpus actually has dup spans
+    # the bloom-path runs tracked-persisted dup_keys + bitmaps — release
+    # them so this test's caches never squeeze later tests
+    release_caches()
+
+
+def test_dup_bloom_m_bits_sizing():
+    """The bitmap is sized from the activation gate's own row count —
+    the r9 self-review found a fixed 2^20 bitmap saturated (FP ~ 100%)
+    at every corpus size that activates the filter. Pin the floor, the
+    cap, 32-alignment, and that at the activation threshold the fill
+    stays in the useful regime under the documented density assumption
+    (~5 dup keys/doc)."""
+    import math
+
+    from edu_data_pipeline_spark.suite.scale_suite import (
+        DUP_BLOOM_MAX_M_BITS,
+        DUP_BLOOM_MIN_DOCS,
+        DUP_BLOOM_MIN_M_BITS,
+        _dup_bloom_m_bits,
+    )
+
+    assert _dup_bloom_m_bits(0) == DUP_BLOOM_MIN_M_BITS
+    assert _dup_bloom_m_bits(10**12) == DUP_BLOOM_MAX_M_BITS
+    for n in (1, 999, 10**5, 10**6, 10**8, 10**10):
+        assert _dup_bloom_m_bits(n) % 32 == 0
+    # at the activation threshold: ~5 dup keys/doc, k=3 hash functions
+    m = _dup_bloom_m_bits(DUP_BLOOM_MIN_DOCS)
+    keys = 5 * DUP_BLOOM_MIN_DOCS
+    fill = 1.0 - math.exp(-3.0 * keys / m)
+    assert fill < 0.35 and fill**3 < 0.05, (m, fill)
