@@ -915,8 +915,15 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     # absolute df cap for pair generation (r8); the self-join runs on
-    # 8-byte fingerprints instead of shingle strings (r8b)
-    kept = _pair_shingle_keys(d)
+    # 8-byte fingerprints instead of shingle strings (r8b). r9: the
+    # self-join's two sides and the verify's two fp-join sides each
+    # re-evaluated their shared subtree (plan probe: 8 documents scans,
+    # 0 ReusedExchange — identical-subtree reuse does not fire across
+    # these join sides), so the two shared frames are tracked-persisted:
+    # kept is the df-capped distinct (doc_id, sk) stream and fp one
+    # array row per doc — both bounded by the per-doc-distinct gram
+    # count, and both released by the harness after the query.
+    kept = persist_tracked(_pair_shingle_keys(d))
     ka = kept.alias("ka")
     kb = kept.alias("kb")
     cand = (
@@ -931,7 +938,10 @@ def docs_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # per-doc fingerprint arrays + map-side intersect (r8b); n_common > 0
-    # replicates the oracle's inner-join drop of zero-overlap candidates
+    # replicates the oracle's inner-join drop of zero-overlap candidates.
+    # fp NOT persisted (recompute beats the cache round-trip for the
+    # plain array pipeline — see minhash_verified_pairs); kept IS
+    # persisted above (its subtree carries the df-cap agg on top)
     scored = _verify_pair_overlap(cand, _doc_fp_sets(d)).where(
         F.col("n_common") > 0
     )
@@ -995,7 +1005,14 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(spark, sf_dir)
     # per-doc fingerprint arrays + map-side intersect (r8b) — see
-    # _doc_fp_sets for the measured 2.9x shuffle cut
+    # _doc_fp_sets for the measured 2.9x shuffle cut. The verify joins
+    # fp twice and subtree reuse does not fire, but persisting it
+    # MEASURED SLOWER here (1.82 -> 2.36 s at sf0.1): this fp pipeline
+    # is cheap 3-gram array algebra, and the cache write+read round
+    # trip costs more than the second evaluation — the r8c
+    # "keep the expensive pipeline single-consumer" rule's flip side.
+    # (docs_jaccard_top_pairs DOES persist: its shared subtree carries
+    # the df-cap aggregation on top, 7.95 -> 5.23 s measured.)
     scored = _verify_pair_overlap(cand, _doc_fp_sets(d))
     jac = _overlap_jaccard()
     return scored.where(jac >= MINHASH_VERIFY_J).select(
@@ -3786,7 +3803,10 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_df(d)
     cand = _band_pairs(sigs)
     # per-doc fingerprint arrays + map-side intersect (r8b); n_common > 0
-    # replicates the oracle's inner-join drop of zero-overlap candidates
+    # replicates the oracle's inner-join drop of zero-overlap candidates.
+    # fp deliberately NOT persisted: measured slower (see
+    # minhash_verified_pairs — recompute beats cache round-trip for the
+    # plain 3-gram array pipeline)
     scored = _verify_pair_overlap(cand, _doc_fp_sets(d)).where(
         F.col("n_common") > 0
     )
@@ -4615,7 +4635,10 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (the oracle applies the identical transform — the dup-span
     collision trade)."""
     d = table(spark, sf_dir, "documents")
-    arrs = _doc_fp_sets(d)
+    # r9: persisted — arrs feeds both the first-seen agg (via rows) and
+    # the per-doc sizes projection; un-cached, the gram-array pipeline
+    # evaluated twice (subtree reuse does not fire across consumers)
+    arrs = persist_tracked(_doc_fp_sets(d))
     rows = arrs.select("doc_id", F.explode("sks").alias("sk"))
     first = rows.groupBy("sk").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
