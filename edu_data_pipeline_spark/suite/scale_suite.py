@@ -3107,36 +3107,56 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUP_SPAN_K = 8  # tokens per gram
 
 # Bloom PRE-FILTER sizing for the dup-span family (r9, VERDICT r8
-# next-round #1; activation-scale saturation found in r9 self-review).
+# next-round #1; activation-scale saturation found in r9 self-review;
+# SHARDED in r10 — VERDICT r9 next-round #4 + ADVICE r9).
 # The key set is the corpus's DUPLICATED gram vocabulary (df >= 2) —
 # it grows with the corpus, so a FIXED bitmap saturates exactly when
 # the filter matters (a first cut pinned m = 2^20: at the 1M-doc
 # activation scale that is ~0.2 bits per dup key, fill ~ 1.0, FP ~
-# 100% — the filter would keep everything and be pure overhead). m is
-# therefore derived from the same parquet footer row count the
+# 100% — the filter would keep everything and be pure overhead). Total
+# bits are therefore derived from the same parquet footer row count the
 # activation gate reads: DUP_BLOOM_BITS_PER_DOC = 64 bits/doc gives
 # ~13 bits per dup key under the conservative density assumption of
 # ~5 dup keys/doc (10% duplication x ~50 grams/doc) -> FP ~ 1% with
 # k=3, and still a ~68% cut at 5x heavier duplication. Floor 2^20
-# (128 KiB — the always-cheap regime) and cap 2^33 (1 GiB bitmap =
-# 268M sparse words; bloom_gram_flags force-broadcasts, so the 10 MB
-# autoBroadcast threshold does not bind): past ~134M docs the cap
-# holds the broadcast bounded and the filter's selectivity decays
-# gracefully — correctness never depends on FP (the exact semi-join
-# rescreens every surviving instance); beyond that the knob is
-# sharding the screen, documented not implemented.
+# (128 KiB — the always-cheap regime).
+#
+# Past DUP_BLOOM_SHARD_M_BITS the screen SHARDS instead of capping:
+# the fingerprint domain is partitioned by pmod(sk, S), each shard
+# gets its own footer-sized bitmap, and each shard's instance slice is
+# probed map-side against ONLY its shard's bitmap, branches unioned.
+# Two problems the r9 single-bitmap 2^33 cap had, both fixed by the
+# per-shard bound (ADVICE r9): (a) the probe position (h1 + j*h2) %
+# m with h1 = sk>>28 < 2^32, h2 < 2^28 only reaches every residue for
+# m <= 2^32 — at m = 2^33 ~46% of the bitmap was unaddressable and the
+# effective FP rate doubled; per-shard m <= 2^28 is 16x inside that
+# range. (b) a 2^33-bit bitmap is a 268M-row force-broadcast — far
+# past practical driver/executor limits; per-shard the broadcast is
+# <= 2^28/32 = 8.4M sparse words (~130 MB) at ANY corpus size. The
+# cost of shard s is one more pass over the gram source (each branch
+# re-scans the pruned (doc_id, text) columns — no exchange anywhere),
+# so S multiplies scan volume, not shuffle: at 64 bits/doc one shard
+# covers ~4.2M docs, and a 1e9-doc corpus wants S ~ 239 — at that
+# scale the honest engineering choice is fewer bits/key (the filter
+# degrades gracefully; the exact semi-join rescreens every survivor,
+# so correctness NEVER depends on FP) or a single bucketed exchange of
+# the instance stream; the measured trade lives in SCALE.md. Shard
+# sizing keeps bits/key constant, so FP ~ 1% holds at every S.
 DUP_BLOOM_BITS_PER_DOC = 64
 DUP_BLOOM_MIN_M_BITS = 1 << 20
-DUP_BLOOM_MAX_M_BITS = 1 << 33
+DUP_BLOOM_SHARD_M_BITS = 1 << 28
 
 
-def _dup_bloom_m_bits(n_docs: int) -> int:
-    """Footer-derived bitmap size: 64 bits/doc, clamped, 32-aligned."""
-    m = min(
-        max(DUP_BLOOM_MIN_M_BITS, DUP_BLOOM_BITS_PER_DOC * n_docs),
-        DUP_BLOOM_MAX_M_BITS,
-    )
-    return (m + 31) & ~31
+def _dup_bloom_plan(n_docs: int) -> tuple[int, int]:
+    """Footer-derived (n_shards, per-shard m_bits): 64 bits/doc total,
+    floor 2^20, split into the fewest shards that keep every shard at
+    or under DUP_BLOOM_SHARD_M_BITS (addressable + broadcast-bounded),
+    each 32-aligned. n_shards * m_shard >= the designed total, so
+    bits-per-key (and the ~1% FP design point) is scale-invariant."""
+    m_total = max(DUP_BLOOM_MIN_M_BITS, DUP_BLOOM_BITS_PER_DOC * n_docs)
+    n_shards = -(-m_total // DUP_BLOOM_SHARD_M_BITS)
+    m_shard = -(-m_total // n_shards)
+    return n_shards, (m_shard + 31) & ~31
 
 
 # Activation crossover for the pre-filter, decided from the parquet
@@ -3164,7 +3184,10 @@ DUP_BLOOM_MIN_DOCS = 100_000
 
 
 def _dup_gram_prefilter(
-    grams: DataFrame, dup_keys: DataFrame, m_bits: int = DUP_BLOOM_MIN_M_BITS
+    grams: DataFrame,
+    dup_keys: DataFrame,
+    m_bits: int = DUP_BLOOM_MIN_M_BITS,
+    n_shards: int = 1,
 ) -> DataFrame:
     """MAP-SIDE Bloom screen over a gram-INSTANCE stream: keep only
     instances whose fingerprint is plausibly in ``dup_keys`` (the
@@ -3180,7 +3203,8 @@ def _dup_gram_prefilter(
     Probe shape: BLOOM_K broadcast hash joins of the instance stream
     against the SPARSE (word_idx, word) bitmap — bloom_gram_flags'
     codegen path — with the bitmap tracked-persisted so its bounded
-    aggregation (<= m/32 = 32768 rows through bit_or partials) runs
+    aggregation (<= m_bits/32 rows through bit_or partials: 32,768 at
+    the 2^20 floor, <= 8.4M at the 2^28 per-shard bound) runs
     ONCE even though the three per-hash broadcast subtrees differ by
     alias and ReuseExchange therefore never unifies them (measured:
     un-persisted, the aggregate ran BLOOM_K times, +1.3 MB shuffle at
@@ -3192,25 +3216,47 @@ def _dup_gram_prefilter(
     giant array column rides every probe row through the join. Sparse
     + hash joins is the shape that stays codegen end-to-end. Nothing
     here shuffles gram volume: the probe side is map-side broadcast,
-    and at 100 TB the bitmap is sized ~10 bits per expected dup
-    fingerprint (a 1e9-key dup vocabulary wants a ~1.25 GB bitmap =
-    ~33M sparse rows, still broadcast-able where the alternative was
-    shuffling every gram instance)."""
+    sized ~13 bits per expected dup fingerprint with the per-shard
+    bitmap bounded at 2^28 bits = 8.4M sparse words regardless of
+    corpus size (r10 sharding — the r9 2^33 single bitmap was both
+    past the probe's 2^32 addressable range and past any practical
+    broadcast; see the DUP_BLOOM constants' comment).
+
+    ``n_shards > 1`` partitions the FINGERPRINT domain by
+    ``pmod(gk, n_shards)``: shard s builds its bitmap from only its
+    dup keys and probes only its slice of the instance stream, all
+    branches unioned. Same-key build/probe land in the same shard by
+    construction, so the no-false-negative property is untouched; the
+    per-shard (h1, h2) halves still span their full ranges (pmod
+    constrains sk, h1 = sk>>28 varies freely within a shard), so the
+    FP design point is preserved. Each branch is its own map-side
+    pass over the gram source — S multiplies SCAN volume (pruned
+    columns, no exchange), never shuffle."""
     from .curation_suite import bloom_bitmap, bloom_gram_flags
 
-    bitmap = persist_tracked(
-        bloom_bitmap(
-            dup_keys.select(F.col("gk").alias("sk")), m_bits=m_bits
+    def branch(keys: DataFrame, probe: DataFrame) -> DataFrame:
+        bitmap = persist_tracked(
+            bloom_bitmap(keys.select(F.col("gk").alias("sk")), m_bits=m_bits)
         )
-    )
-    flagged = bloom_gram_flags(
-        grams.withColumnRenamed("gk", "sk"), bitmap, m_bits=m_bits
-    )
-    return (
-        flagged.where(F.col("bloom_pos"))
-        .drop("bloom_pos")
-        .withColumnRenamed("sk", "gk")
-    )
+        flagged = bloom_gram_flags(
+            probe.withColumnRenamed("gk", "sk"), bitmap, m_bits=m_bits
+        )
+        return (
+            flagged.where(F.col("bloom_pos"))
+            .drop("bloom_pos")
+            .withColumnRenamed("sk", "gk")
+        )
+
+    if n_shards <= 1:
+        return branch(dup_keys, grams)
+    shard = F.pmod(F.col("gk"), F.lit(n_shards))
+    out = None
+    for s in range(n_shards):
+        part = branch(
+            dup_keys.where(shard == s), grams.where(shard == s)
+        )
+        out = part if out is None else out.union(part)
+    return out
 
 
 def _dup_span_sides(
@@ -3222,20 +3268,24 @@ def _dup_span_sides(
 
     Past the broadcast crossover (footer row count, zero jobs —
     DUP_BLOOM_MIN_DOCS) the instance stream is Bloom-pre-filtered with
-    a bitmap SIZED from the same count (_dup_bloom_m_bits), and
-    dup_keys is tracked-persisted because it feeds two consumers
-    (bitmap build + semi-join right side; ReuseExchange does not fire
-    across the broadcast-stage boundary — un-cached, the vocabulary df
-    aggregation ran twice and sh/in doubled). Below the crossover AQE
-    broadcasts the dup side and the left never shuffles, so the plain
-    stream skips the filter's fixed costs (measured +2.1 s/run at
-    sf0.1). Both paths return byte-identical rows downstream."""
+    shard count and per-shard bitmap SIZED from the same count
+    (_dup_bloom_plan), and dup_keys is tracked-persisted because it
+    feeds multiple consumers (per-shard bitmap builds + semi-join
+    right side; ReuseExchange does not fire across the broadcast-stage
+    boundary — un-cached, the vocabulary df aggregation ran twice and
+    sh/in doubled). Below the crossover AQE broadcasts the dup side
+    and the left never shuffles, so the plain stream skips the
+    filter's fixed costs (measured +2.1 s/run at sf0.1). All paths
+    return byte-identical rows downstream."""
     n_docs = metadata_row_count(sf_dir, "documents")
     dup_keys = gdf.where(F.col("df") >= 2).select(F.col("sk").alias("gk"))
     if n_docs < DUP_BLOOM_MIN_DOCS:
         return grams, dup_keys
     dup_keys = persist_tracked(dup_keys)
-    left = _dup_gram_prefilter(grams, dup_keys, m_bits=_dup_bloom_m_bits(n_docs))
+    n_shards, m_bits = _dup_bloom_plan(n_docs)
+    left = _dup_gram_prefilter(
+        grams, dup_keys, m_bits=m_bits, n_shards=n_shards
+    )
     return left, dup_keys
 
 
