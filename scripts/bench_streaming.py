@@ -1,0 +1,197 @@
+"""Streaming-throughput benchmark (VERDICT r9 next-round #5).
+
+BENCH covers batch only; the streaming jobs had correctness pytest but
+no measured rows/s. This drives the two heaviest production streams —
+the Bloom decontamination quarantine router and the shingle-index
+near-dup screen — over a sized corpus with Trigger.AvailableNow
+(micro-batch size pinned by maxFilesPerTrigger=1 over fixed-size
+source files), and records per-stream:
+
+- docs_per_sec: total stream input docs / end-to-end wall (includes
+  source listing, checkpoint commits, and sink writes — the honest
+  operational number);
+- batch_ms p50/p95/max from the StreamingQuery progress feed
+  (``batchDuration`` — trigger-to-commit per micro-batch).
+
+Corpus: the driver testdata documents table at $SPARK_GRAFT_SF_DIR
+(default sf0.1, 5k docs), replicated REPLICATE x with offset doc_ids
+into N_FILES JSON source files (one file = one micro-batch). The
+Bloom bitmap is built from a deterministic 5% eval slice; the shingle
+index from the un-replicated corpus — both through the SAME batch
+builders the registry queries use (shared-constants contract), so the
+measured path is the shipped path.
+
+Output: one JSON line on stdout; pass --record to also append it to
+BENCH_HISTORY.jsonl with metric "streaming_throughput" (a separate
+metric name, so the driver's suite_headline_total series is
+untouched).
+
+Usage: python scripts/bench_streaming.py [--record]
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import os  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from edu_data_pipeline_spark.session import get_spark  # noqa: E402
+from edu_data_pipeline_spark.streaming import jobs  # noqa: E402
+from edu_data_pipeline_spark.suite.curation_suite import bloom_bitmap  # noqa: E402
+from edu_data_pipeline_spark.suite.scale_suite import _distinct_shingles  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = pathlib.Path(os.environ.get("STREAMBENCH_ROOT", "/tmp/bench_streaming"))
+REPLICATE = 20   # 5k sf0.1 docs -> 100k stream docs
+N_FILES = 25     # one source file per micro-batch -> 4k docs/batch
+EVAL_FRAC = 20   # 1-in-20 docs (5%) form the Bloom eval slice
+
+
+def _pctl(xs: list[float], p: float) -> float:
+    s = sorted(xs)
+    return s[min(len(s) - 1, int(round(p * (len(s) - 1))))]
+
+
+def _progress_stats(query, wall_s: float, n_docs: int) -> dict:
+    batches = [
+        json.loads(p) if isinstance(p, str) else p
+        for p in query.recentProgress
+    ]
+    durs = [
+        float(b["batchDuration"])
+        for b in batches
+        if b.get("numInputRows", 0) > 0
+    ]
+    return {
+        "docs": n_docs,
+        "wall_sec": round(wall_s, 2),
+        "docs_per_sec": round(n_docs / wall_s, 1),
+        "batches": len(durs),
+        "batch_ms_p50": round(_pctl(durs, 0.50), 1),
+        "batch_ms_p95": round(_pctl(durs, 0.95), 1),
+        "batch_ms_max": round(max(durs), 1),
+    }
+
+
+def main() -> None:
+    record = "--record" in sys.argv
+    if ROOT.exists():
+        shutil.rmtree(ROOT)
+    ROOT.mkdir(parents=True)
+
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_corpus = corpus.count()
+    n_docs = n_corpus * REPLICATE
+
+    # replicated stream source: REPLICATE copies with offset ids, one
+    # JSON file per micro-batch (written by Spark, not the driver)
+    src = ROOT / "docs_src"
+    (
+        corpus.crossJoin(
+            F.broadcast(
+                spark.range(REPLICATE).select(F.col("id").alias("rep"))
+            )
+        )
+        .select(
+            (F.col("doc_id") + F.col("rep") * (n_corpus * 10)).alias("doc_id"),
+            "text",
+        )
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .json(str(src))
+    )
+
+    eval_docs = corpus.where(F.col("doc_id") % EVAL_FRAC == 0)
+    bloom = bloom_bitmap(_distinct_shingles(eval_docs))
+    index = jobs.corpus_shingle_index(corpus)
+    # materialize both standing artifacts OUTSIDE the timed window —
+    # a deployed screen builds its index once, not per stream start
+    bloom = bloom.persist()
+    bloom.count()
+    index = index.persist()
+    index.count()
+
+    streams: dict[str, dict] = {}
+
+    # --- 1. Bloom quarantine router ------------------------------------
+    t0 = time.perf_counter()
+    q = jobs.start_bloom_quarantine_stream(
+        jobs.read_doc_stream_json(spark, str(src), max_files_per_trigger=1),
+        bloom,
+        str(ROOT / "clean"),
+        str(ROOT / "quarantine"),
+        str(ROOT / "ckpt_bloom"),
+    )
+    q.awaitTermination()
+    streams["bloom_quarantine"] = _progress_stats(
+        q, time.perf_counter() - t0, n_docs
+    )
+    n_quar = spark.read.parquet(str(ROOT / "quarantine")).count()
+    n_clean = spark.read.parquet(str(ROOT / "clean")).count()
+    assert n_quar + n_clean == n_docs, (n_quar, n_clean, n_docs)
+    streams["bloom_quarantine"]["quarantined"] = n_quar
+
+    # --- 2. shingle-index near-dup screen -------------------------------
+    rollup_rows = [0]
+
+    def _rollup(batch_df, _bid):
+        rollup_rows[0] += jobs.collision_rollup(batch_df).count()
+
+    t0 = time.perf_counter()
+    q = (
+        jobs.screen_docs_stream(
+            jobs.read_doc_stream_json(
+                spark, str(src), max_files_per_trigger=1
+            ),
+            index,
+        )
+        .writeStream.foreachBatch(_rollup)
+        .option("checkpointLocation", str(ROOT / "ckpt_screen"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streams["shingle_screen"] = _progress_stats(
+        q, time.perf_counter() - t0, n_docs
+    )
+    streams["shingle_screen"]["flagged_docs"] = rollup_rows[0]
+
+    bloom.unpersist()
+    index.unpersist()
+
+    line = {
+        "metric": "streaming_throughput",
+        "unit": "docs_per_sec",
+        "sf_dir": SF_DIR,
+        "replicate": REPLICATE,
+        "n_files": N_FILES,
+        "streams": streams,
+    }
+    print(json.dumps(line))
+    if record:
+        line["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        hist = pathlib.Path(__file__).resolve().parent.parent / (
+            "BENCH_HISTORY.jsonl"
+        )
+        with hist.open("a") as f:
+            f.write(json.dumps(line) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
+
+
