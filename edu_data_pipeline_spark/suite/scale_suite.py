@@ -3162,25 +3162,36 @@ def _dup_bloom_plan(n_docs: int) -> tuple[int, int]:
 # Activation crossover for the pre-filter, decided from the parquet
 # footer row count (metadata-only, zero Spark jobs — the adaptive-width
 # pattern of docs_epoch_order). The filter pays exactly when the df>=2
-# key set outgrows a broadcast: below ~10 MB (~500k 8-byte keys plus
-# row overhead) AQE broadcasts the semi-join's dup side and the gram-
-# instance stream NEVER shuffles — the filter would only add its fixed
-# costs (bitmap job + BLOOM_K broadcast materializations + two cache
-# writes: measured +2.1 s per run at sf0.1, a constant, not a slope).
-# Above it the semi-join goes sort-merge and the un-filtered left side
-# becomes a gram-volume exchange (the r8 774 TB row). Crossover
-# arithmetic (direction fixed in r9 self-review — a first cut placed
-# the threshold at 1M docs, ABOVE the crossover for duplication-heavy
-# corpora): ~500k dup keys is reached by ~100k docs at 10% duplication
-# x ~50 grams/doc, and heavier duplication crosses even earlier, so
-# the threshold sits AT the plausible crossover floor — a dup-light
-# corpus past it merely pays the (broadcast-cheap) filter a little
-# early; a dup-heavy corpus below it has < 100k docs x grams/doc dup
-# instances, small enough that even a sort-merge fallback is bounded.
+# key set outgrows a broadcast: below that AQE broadcasts the
+# semi-join's dup side and the gram-instance stream NEVER shuffles —
+# the filter would only add its own costs (bitmap build job + BLOOM_K
+# broadcast materializations + two cache writes). Above it the
+# semi-join goes sort-merge and the un-filtered left side becomes a
+# gram-volume exchange (the r8 774 TB row).
+#
+# The threshold is RE-DERIVED FROM MEASUREMENT in r10 (the r9 value of
+# 100k came from broadcast-capacity arithmetic that underestimated the
+# real broadcast limit). scripts/dup_span_organic.py runs both paths
+# organically on a 150k/600k-doc df-stationary corpus that is
+# duplication-HEAVY (~9.5 dup keys/doc — the adverse case, since dup
+# density pushes the crossover EARLIER). Measured (SCALE.md r10c):
+# at 150k docs the plain path still wins on BOTH currencies (bytes
+# 171 vs 209 MB, wall 11.3 vs 23.4 s — the dup side still broadcasts
+# and the filter's ~linear-in-n costs are pure overhead); by 600k the
+# plain semi-join has dropped to sort-merge and its exchange explodes
+# (sh/in 2.78 -> 6.32, alpha ~1.6) while the Bloom path holds sh/in
+# flat at 3.4 (alpha 1.00 organic). The shuffle-byte crossover
+# log-interpolates to ~240k docs on that adverse corpus; dup-LIGHT
+# corpora cross later (fewer dup keys broadcast longer), so 250k is
+# the measured floor. Early activation on a dup-light corpus past the
+# gate costs only the filter's bounded build (and deletes more of the
+# stream, so the filter is cheapest exactly where it's premature);
+# late activation below it is impossible by the measurement above.
 # Both paths return byte-identical rows (no-false-negative property +
 # the exact semi-join), pinned by tests/test_doc_gram_arrays.py on the
-# filter itself and on the registry conditional end-to-end.
-DUP_BLOOM_MIN_DOCS = 100_000
+# filter itself and on the registry conditional end-to-end, and the
+# oracles are hash-green at an organically-activating 150k docs.
+DUP_BLOOM_MIN_DOCS = 250_000
 
 
 def _dup_gram_prefilter(

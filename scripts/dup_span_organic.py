@@ -1,18 +1,27 @@
 """Measure the dup-span Bloom path at an ORGANIC activation scale.
 
-Why this exists (VERDICT r9 next-round #1): the r9 Bloom pre-filter
+Why this exists (VERDICT r9 next-round #1): the Bloom pre-filter
 (`_dup_span_sides`) activates on the parquet footer row count at
-DUP_BLOOM_MIN_DOCS = 100k docs, but the driver testdata tops out at
-5,000 docs (sf0.1) — so the machinery only ever ran force-activated in
+DUP_BLOOM_MIN_DOCS, but the driver testdata tops out at 5,000 docs
+(sf0.1) — so through r9 the machinery only ever ran force-activated in
 tests and forced-path byte measurements, and the claimed crossover
-(+2.1 s fixed filter cost vs the avoided semi-join exchange) was an
-extrapolation. This script builds corpora PAST the gate so it flips by
-itself, then measures BOTH paths (organic Bloom vs forced-plain) at
-each tier: wall clock, shuffle-write bytes (Spark UI REST deltas — the
-capacity-plan protocol), and scanned input bytes. It also runs the
-unchanged DuckDB oracles at the first organic tier through the exact
-driver-protocol canonicalizer, so "both oracles green at an activating
-scale" is an observation, not an inference from sf0.01.
+(fixed filter cost vs the avoided semi-join exchange) was an
+extrapolation. This script builds corpora around the gate and measures
+BOTH paths at each tier (the shipped gate's organic pick is tagged in
+the output): wall clock, shuffle-write bytes (Spark UI REST deltas —
+the capacity-plan protocol), and scanned input bytes. It also runs the
+unchanged DuckDB oracles at the organically-activating tier through
+the exact driver-protocol canonicalizer, so "both oracles green at an
+activating scale" is an observation, not an inference from sf0.01.
+
+The r10 run of this script is what RE-DERIVED the gate (SCALE.md r10c):
+the r9 value of 100k activated measurably early — at 150k docs the
+plain path won both currencies (bytes 171 vs 209 MB, wall 11.3 vs
+23.4 s) because the dup side still broadcast, while by 600k the plain
+semi-join had dropped to sort-merge (sh/in 2.78 -> 6.32, alpha ~1.6)
+and the Bloom path held sh/in flat at 3.4 (alpha 1.00). The byte
+crossover log-interpolates to ~240k docs on this duplication-heavy
+(adverse) corpus -> DUP_BLOOM_MIN_DOCS = 250k, the measured floor.
 
 Corpus: the df-STATIONARY generator (scripts/df_stationary_fit.py) at
 150k and 600k docs — dup structure is sf-invariant by construction
@@ -51,7 +60,7 @@ import os  # noqa: E402
 ROOT = os.environ.get("DUPSPAN_ROOT", "/tmp/dupspan_organic")
 TIERS = {"sf150000": 150_000, "sf600000": 600_000}  # sfNNN: _scanned_bytes parses /sf<digits>/ paths
 QUERIES = ("docs_dup_spans", "docs_dup_span_ranges")
-ORACLE_TIER = "sf150000"
+ORACLE_TIER = "sf600000"  # the tier the shipped gate organically activates at
 # One write_table call = one parquet ROW GROUP, and Spark can only
 # split a file at row-group boundaries — a first cut at 50k rows/group
 # gave the 150k tier THREE effective splits and 3 straggler tasks on a
@@ -140,6 +149,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
     plain_off = 1 << 60
+    bloom_on = 0
     organic_gate = scale_suite.DUP_BLOOM_MIN_DOCS
 
     # one unmeasured warmup through the same write path
@@ -156,10 +166,17 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|---|")
     for tier, sf_dir in dirs.items():
         n_docs = tiers[tier]
-        assert n_docs >= organic_gate, f"{tier}: gate must flip organically"
-        for path_tag in ("bloom(organic)", "plain(forced)"):
+        # Measure BOTH paths at every tier by forcing the gate each
+        # way; tag which one the shipped gate picks organically (the
+        # r10 re-derived gate sits BETWEEN the tiers by design, so the
+        # table shows one organic-plain and one organic-bloom tier).
+        organic = "bloom" if n_docs >= organic_gate else "plain"
+        for path in ("bloom", "plain"):
+            path_tag = path + (
+                "(organic)" if path == organic else "(forced)"
+            )
             scale_suite.DUP_BLOOM_MIN_DOCS = (
-                organic_gate if path_tag.startswith("bloom") else plain_off
+                bloom_on if path == "bloom" else plain_off
             )
             for name in QUERIES:
                 walls, shs, scans = [], [], []
