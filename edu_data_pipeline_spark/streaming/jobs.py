@@ -871,18 +871,26 @@ def read_vec_stream_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(schema).json(path)
 
 
-def embedding_index(corpus: DataFrame, dim: int) -> tuple[DataFrame, DataFrame]:
+def embedding_index(
+    corpus: DataFrame, dim: int, bits: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """The standing ANN index: (bucket rows, vectors) for a corpus
     embedding frame — build once per index refresh, both sides small
-    enough to broadcast per bucket at screen time."""
-    from ..suite.scale_suite import lsh_bucket_rows
+    enough to broadcast per bucket at screen time. ``bits`` pins the
+    hyperplane family (default N_LSH_BITS); pass `_lsh_bits(corpus
+    count)` for a large corpus and give semantic_screen_batch the SAME
+    value — index and probe widths must match or buckets are
+    incomparable."""
+    from ..suite.scale_suite import N_LSH_BITS, lsh_bucket_rows
 
     e = corpus.select(
         F.col("vec_id").alias("corpus_vec_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
     buckets = lsh_bucket_rows(
-        e.select(F.col("corpus_vec_id").alias("vec_id"), "emb"), dim
+        e.select(F.col("corpus_vec_id").alias("vec_id"), "emb"),
+        dim,
+        N_LSH_BITS if bits is None else bits,
     ).select(F.col("vec_id").alias("corpus_vec_id"), "table_idx", "bucket")
     return buckets, e
 
@@ -893,13 +901,15 @@ def semantic_screen_batch(
     index_vecs: DataFrame,
     dim: int,
     tau: float,
+    bits: int | None = None,
 ) -> DataFrame:
     """Per-incoming-vector verdict over a BATCH: bucket-join candidates
     against the index, verify by exact cosine, keep the best corpus
     match at cosine >= tau. Columns: vec_id, matched_corpus_vec (null =
-    novel), best_cosine."""
+    novel), best_cosine. ``bits`` must equal the value the index was
+    built with (see embedding_index)."""
     from ..suite import dround
-    from ..suite.scale_suite import _dot, lsh_bucket_rows
+    from ..suite.scale_suite import N_LSH_BITS, _dot, lsh_bucket_rows
 
     # norms once per vector on both sides (identical doubles, fewer folds)
     e = batch.select(
@@ -908,7 +918,9 @@ def semantic_screen_batch(
     idx = index_vecs.select(
         "corpus_vec_id", F.col("emb").alias("cemb")
     ).withColumn("cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb"))))
-    in_buckets = lsh_bucket_rows(e.select("vec_id", "emb"), dim)
+    in_buckets = lsh_bucket_rows(
+        e.select("vec_id", "emb"), dim, N_LSH_BITS if bits is None else bits
+    )
     cand = (
         in_buckets.join(index_buckets, ["table_idx", "bucket"])
         .select("vec_id", "corpus_vec_id")

@@ -23,6 +23,7 @@ Scale design notes:
 from __future__ import annotations
 
 import functools as _functools
+import math as _math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1752,6 +1753,54 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_LSH_TABLES = 6   # independent hash tables (union of candidates)
 N_LSH_BITS = 4     # sign bits per table -> 16 buckets each
 
+# Adaptive bucket width (r10 — the capacity extension measured
+# embedding_verified_topk at alpha 1.82). With bits FIXED, sign-LSH
+# candidate volume is a constant FRACTION of all pairs: each table
+# splits the corpus into 2^bits buckets whatever n is, so expected
+# bucket occupancy grows ~n and per-table candidates ~n^2/2^(bits+1) —
+# the same constant-fraction quadratic embedding_semantic_dedup had
+# before its r6 cluster-first fix, and exactly what the docstring's
+# "production corpora run 12-16 bits" remark hand-waved. Encoded with
+# the footer-gate pattern of DUP_BLOOM_MIN_DOCS: below
+# LSH_ADAPT_MIN_VECS the width is EXACTLY N_LSH_BITS with the same
+# hyperplane family (p = t*bits + b = t*4 + b, bit-identical buckets,
+# so every recorded result below the gate is unchanged); past the gate
+# bits targets LSH_TARGET_BUCKET expected vectors per bucket
+# (ceil(log2(n / 512)), capped at LSH_MAX_BITS so the bucket id stays
+# a small INT), which pins occupancy ~constant and candidate volume
+# ~linear in n. The oracle computes the identical width from count(*)
+# in SQL; log2 of an integer ratio sits safely off integer boundaries
+# except at exact powers of two, where IEEE doubles make it exact in
+# both engines — cross-pinned value-by-value in
+# tests/test_warehouse.py::test_lsh_bits_formula_matches_oracle.
+LSH_ADAPT_MIN_VECS = 100_000
+LSH_TARGET_BUCKET = 512
+LSH_MAX_BITS = 24
+
+
+def _lsh_bits(n_vecs: int) -> int:
+    """Hyperplane count per LSH table for an ``n_vecs``-vector corpus."""
+    if n_vecs < LSH_ADAPT_MIN_VECS:
+        return N_LSH_BITS
+    return min(
+        LSH_MAX_BITS,
+        max(
+            N_LSH_BITS,
+            _math.ceil(_math.log2(n_vecs / LSH_TARGET_BUCKET)),
+        ),
+    )
+
+
+# The same width, derivable by DuckDB from the corpus row count —
+# interpolated into both LSH oracles so engine and oracle can never
+# disagree on the bucket family at any scale.
+_SQL_LSH_BITS = (
+    f"CASE WHEN count(*) < {LSH_ADAPT_MIN_VECS} THEN {N_LSH_BITS} "
+    f"ELSE LEAST({LSH_MAX_BITS}, GREATEST({N_LSH_BITS}, "
+    f"CAST(ceil(log2(CAST(count(*) AS DOUBLE) / {LSH_TARGET_BUCKET})) "
+    "AS INT))) END"
+)
+
 
 def _hp_values(p: int, dim: int) -> list[float]:
     """Uniform[-1,1) hyperplane component for plane ``p``, derived from the
@@ -1771,8 +1820,12 @@ def _hp_values(p: int, dim: int) -> list[float]:
     ]
 
 
-def _hyperplane_bits(table_idx: int, dim: int) -> Column:
-    """4-bit sign signature under deterministic md5-derived hyperplanes.
+def _hyperplane_bits(
+    table_idx: int, dim: int, bits: int = N_LSH_BITS
+) -> Column:
+    """``bits``-bit sign signature under deterministic md5-derived
+    hyperplanes (plane id p = table_idx * bits + b, mirrored by the
+    oracle SQL).
 
     Built as ONE SQL expression string per table: the previous
     Column-algebra construction issued a py4j round trip per literal
@@ -1782,16 +1835,16 @@ def _hyperplane_bits(table_idx: int, dim: int) -> Column:
     (repr() round-trips exactly and `D`-suffixed literals parse as
     doubles, not decimals), so results and oracles are unchanged —
     locked by the existing bucket-assignment parity row."""
-    return F.expr(_hyperplane_bits_sql(table_idx, dim))
+    return F.expr(_hyperplane_bits_sql(table_idx, dim, bits))
 
 
 @_functools.lru_cache(maxsize=None)
-def _hyperplane_bits_sql(table_idx: int, dim: int) -> str:
+def _hyperplane_bits_sql(table_idx: int, dim: int, bits: int) -> str:
     """Memoized: the string (md5-per-coefficient in Python + f-string
     assembly) is identical for every query in a session."""
     terms = []
-    for b in range(N_LSH_BITS):
-        p = table_idx * N_LSH_BITS + b
+    for b in range(bits):
+        p = table_idx * bits + b
         arr = ", ".join(f"{v!r}D" for v in _hp_values(p, dim))
         dot = (
             f"aggregate(zip_with(emb, array({arr}), (x, h) -> x * h), "
@@ -1801,41 +1854,58 @@ def _hyperplane_bits_sql(table_idx: int, dim: int) -> str:
     return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
-def _sql_hplane(p: int) -> str:
+def _sql_hplane(p_sql: str) -> str:
+    """Hyperplane array for a plane id given as a SQL expression —
+    identical doubles to :func:`_hp_values` (md5 of "{d}_{p}", first 32
+    bits, exact IEEE mapping)."""
     return (
         "list_transform(range(len(emb)), d -> "
-        "(CAST(CAST('0x' || substr(md5(d::VARCHAR || "
-        f"'_{p}'), 1, 8) AS UINTEGER) AS DOUBLE) / 4294967296.0) * 2 - 1)"
+        "(CAST(CAST('0x' || substr(md5(d::VARCHAR || '_' || "
+        f"CAST({p_sql} AS VARCHAR)), 1, 8) AS UINTEGER) AS DOUBLE) "
+        "/ 4294967296.0) * 2 - 1)"
     )
 
 
-def _sql_bucket(t: int) -> str:
-    terms = []
-    for b in range(N_LSH_BITS):
-        p = t * N_LSH_BITS + b
-        dot = f"list_dot_product(emb, {_sql_hplane(p)})"
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
-    return "(" + " + ".join(terms) + ")"
+# Shared bucket-assignment CTE chain: bits from count(*) (adaptive
+# width, _SQL_LSH_BITS), a (table, bit) grid bounded by it, one sign
+# bit per grid row against plane p = t*bits + b, summed per (vec,
+# table). Below LSH_ADAPT_MIN_VECS this reduces to the original fixed
+# 4-bit family (same p, same planes, same buckets).
+_SQL_LSH_BUCKETS_CTES = f"""bb AS (SELECT {_SQL_LSH_BITS} AS bits FROM embeddings),
+    grid AS (SELECT t.range AS t, b.range AS b
+             FROM range({N_LSH_TABLES}) t, range({LSH_MAX_BITS}) b, bb
+             WHERE b.range < bb.bits),
+    bitvals AS (
+      SELECT e.vec_id, e.label, g.t AS table_idx,
+             CASE WHEN list_dot_product(emb, {_sql_hplane('g.t * bb.bits + g.b')}) > 0
+                  THEN (1 << g.b) ELSE 0 END AS bv
+      FROM e CROSS JOIN grid g CROSS JOIN bb
+    ),
+    lsh_buckets AS (
+      SELECT vec_id, label, CAST(table_idx AS INT) AS table_idx,
+             CAST(SUM(bv) AS INT) AS bucket
+      FROM bitvals GROUP BY vec_id, label, table_idx
+    )"""
 
-
-_LSH_ORACLE = (
-    "WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT vec_id, label, {t} AS table_idx, {_sql_bucket(t)} AS bucket FROM e"
-        for t in range(N_LSH_TABLES)
-    )
-)
+_LSH_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    {_SQL_LSH_BUCKETS_CTES}
+    SELECT vec_id, label, table_idx, bucket FROM lsh_buckets
+    """
 
 
 @register("embedding_lsh_buckets", oracle=_LSH_ORACLE)
 def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table sign-bit LSH: 6 independent tables of 4 md5-derived
+    """Multi-table sign-bit LSH: 6 independent tables of md5-derived
     hyperplane bits. Near-duplicate candidate generation joins on
     (table_idx, bucket) — the embedding analog of MinHash banding; more
-    tables raise recall, more bits shrink buckets. Recall vs the
-    brute-force top pairs is locked by pytest; bucket assignment itself
-    hash-matches the DuckDB oracle (md5 + list_dot_product are
-    bit-identical across engines).
+    tables raise recall, more bits shrink buckets. Bits per table are
+    ADAPTIVE to the corpus (footer row count, `_lsh_bits` — exactly
+    N_LSH_BITS below LSH_ADAPT_MIN_VECS, occupancy-targeted past it so
+    candidate volume stays ~linear in n); the oracle derives the same
+    width from count(*). Recall vs the brute-force top pairs is locked
+    by pytest; bucket assignment itself hash-matches the DuckDB oracle
+    (md5 + list_dot_product are bit-identical across engines).
     """
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
@@ -1859,21 +1929,27 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("int").alias("bucket"),
             ).limit(0)
         )
-    return lsh_bucket_rows(e, dim)
+    return lsh_bucket_rows(e, dim, _lsh_bits(metadata_row_count(sf_dir, "embeddings")))
 
 
-def lsh_bucket_rows(e: DataFrame, dim: int) -> DataFrame:
+def lsh_bucket_rows(
+    e: DataFrame, dim: int, bits: int = N_LSH_BITS
+) -> DataFrame:
     """(vec_id, [label,] table_idx, bucket) hyperplane-LSH rows for any
     frame with an ``emb`` array<double> column and a known dimension —
     the map-side core shared by the suite query and the streaming ANN
     screen (which cannot run the dim probe on an unbounded stream and
-    passes the index's dimension instead)."""
+    passes the index's dimension instead). ``bits`` selects the
+    hyperplane family (plane id p = t*bits + b): index build and stream
+    probe must pass the SAME value or their buckets are incomparable —
+    the suite query derives it from the corpus footer count
+    (`_lsh_bits`); the streaming screen pins it at index-build time."""
     carry = [c for c in ("vec_id", "label") if c in e.columns]
     tables = [
         e.select(
             *carry,
             F.lit(t).alias("table_idx"),
-            _hyperplane_bits(t, dim).alias("bucket"),
+            _hyperplane_bits(t, dim, bits).alias("bucket"),
         )
         for t in range(N_LSH_TABLES)
     ]
@@ -1882,11 +1958,6 @@ def lsh_bucket_rows(e: DataFrame, dim: int) -> DataFrame:
         out = out.unionByName(t)
     return out
 
-
-_SQL_LSH_BUCKETS_CTE = "\n      UNION ALL\n".join(
-    f"      SELECT vec_id, {t} AS table_idx, {_sql_bucket(t)} AS bucket FROM e"
-    for t in range(N_LSH_TABLES)
-)
 
 _SQL_COS_AB = (
     "list_dot_product(ea.emb, eb.emb) / (sqrt(list_dot_product(ea.emb, ea.emb))"
@@ -1898,11 +1969,10 @@ _SQL_COS_AB = (
     "embedding_verified_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-    buckets AS (
-{_SQL_LSH_BUCKETS_CTE}
-    ), cand AS (
+    {_SQL_LSH_BUCKETS_CTES},
+    cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM buckets a JOIN buckets b
+      FROM lsh_buckets a JOIN lsh_buckets b
         ON a.table_idx = b.table_idx AND a.bucket = b.bucket
            AND a.vec_id < b.vec_id
     ), scored AS (
@@ -1918,13 +1988,18 @@ _SQL_COS_AB = (
 def embedding_verified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding analog of minhash_verified_pairs: hyperplane-LSH
     buckets generate candidate pairs, an exact cosine pass ranks them and
-    keeps the top 20. Candidate volume is set by bucket width: this
-    corpus's near-neighbors are weak (cos ~0.4), so recall needs coarse
-    4-bit buckets and candidates stay a constant fraction of all pairs;
-    on a production corpus with real near-dups (cos > 0.9) the same
-    pipeline runs 12-16 bits per table and the verify becomes
-    near-linear. embedding_top_pairs (brute force over a vec_id%4
-    sample) is the ground-truth twin next to this."""
+    keeps the top 20. Candidate volume is set by bucket width, which is
+    ADAPTIVE since r10 (`_lsh_bits`, footer-gated like the dup-span
+    Bloom): below LSH_ADAPT_MIN_VECS the fixed 4-bit width is kept for
+    recall on this weak-neighbor corpus (cos ~0.4) and candidates are a
+    constant fraction of pairs — the capacity probe measured alpha 1.82
+    there, the documented small-corpus exhibit regime; past the gate,
+    occupancy-targeted width pins expected bucket size at
+    ~LSH_TARGET_BUCKET so candidate volume grows ~linearly (the
+    "production corpora run 12-16 bits" remark, now encoded — 1e9
+    vectors plan 21 bits). The oracle derives the identical width from
+    count(*). embedding_top_pairs (brute force over a vec_id%4 sample)
+    is the ground-truth twin next to this."""
     # norms once per vector, not per pair — identical doubles (same
     # fold), 3x fewer array folds in the verify
     e = table(spark, sf_dir, "embeddings").select(

@@ -71,6 +71,15 @@ QUERIES = [
     "docs_cms_term_freq", "docs_continuation_pairs",
     "docs_unigram_logprob", "docs_cdc_chunks", "docs_length_buckets",
     "docs_pack_sequences",
+    # r10 (VERDICT r9 #3): the heaviest NON-bench registry queries —
+    # the ones that move candidate-pair, gram, or token volume through
+    # an exchange; the other ~94 are output-bounded aggregations.
+    "split_leakage_pairs", "docs_cross_source_leakage",
+    "dedup_components", "dedup_keep_best",
+    "dedup_quality_by_cluster_size", "embedding_lsh_buckets",
+    "embedding_verified_topk", "docs_chunk_overlap",
+    "minhash_estimate_accuracy", "docs_ngram_novelty",
+    "docs_tfidf_top_terms", "docs_bpe_pair_stats",
 ]
 
 TARGET_INPUT_BYTES = 100e12  # 100 TB

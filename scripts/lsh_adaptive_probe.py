@@ -1,0 +1,100 @@
+"""Measure the adaptive-LSH candidate-volume exponent (SCALE.md r10d).
+
+The r10 capacity extension measured embedding_verified_topk at
+alpha 1.82 on testdata — sub-gate, where the width is the frozen
+4-bit family and sign-LSH candidates are a constant fraction of all
+pairs. The fix (scale_suite._lsh_bits) targets ~LSH_TARGET_BUCKET
+vectors per bucket past LSH_ADAPT_MIN_VECS. This probe demonstrates
+the exponent change WITHOUT materializing pairs: per-table candidate
+count is exactly sum_i c_i*(c_i-1)/2 over the bucket histogram, so two
+bucket aggregations per (scale, width) give the exact candidate volume
+the verify join would see (pre cross-table dedup). Corpora are
+deterministic md5-derived vectors (the test_lsh_adaptive generator) at
+100k and 400k — both past the gate, so the adaptive width is the
+ORGANIC one (8 -> 10 bits); the forced-4-bit runs are the
+counterfactual the old code would have executed.
+
+Usage: python scripts/lsh_adaptive_probe.py
+Prints one markdown row per (n, width): bits, buckets, max occupancy,
+candidate pairs, and the fitted exponent per width.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import os  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from edu_data_pipeline_spark.session import get_spark  # noqa: E402
+from edu_data_pipeline_spark.suite import scale_suite  # noqa: E402
+
+ROOT = os.environ.get("LSHPROBE_ROOT", "/tmp/lsh_adaptive_probe")
+SCALES = (100_000, 400_000)
+DIM = 16
+
+
+def _corpus(n: int) -> str:
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
+    from test_lsh_adaptive import _write_corpus
+
+    d = pathlib.Path(ROOT) / f"sf{n}"
+    p = d / "embeddings.parquet"
+    if not p.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        _write_corpus(p, n, DIM)
+    return str(d)
+
+
+def main() -> None:
+    spark = get_spark(app_name="lsh-adaptive-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("| n | width | bits | buckets/table | max occupancy | candidate pairs |")
+    print("|---|---|---|---|---|---|")
+    cands: dict[str, dict[int, int]] = {"adaptive(organic)": {}, "fixed-4-bit(old)": {}}
+    for n in SCALES:
+        sf_dir = _corpus(n)
+        e = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("emb"),
+            )
+        )
+        organic = scale_suite._lsh_bits(n)
+        for tag, bits in (
+            ("adaptive(organic)", organic),
+            ("fixed-4-bit(old)", scale_suite.N_LSH_BITS),
+        ):
+            hist = (
+                scale_suite.lsh_bucket_rows(e, DIM, bits)
+                .groupBy("table_idx", "bucket")
+                .agg(F.count("*").alias("c"))
+                .agg(
+                    F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
+                    F.max("c").alias("maxc"),
+                    F.count("*").alias("nbuckets"),
+                )
+                .collect()[0]
+            )
+            pairs = int(hist["pairs"])
+            cands[tag][n] = pairs
+            print(
+                f"| {n} | {tag} | {bits} | {hist['nbuckets'] // scale_suite.N_LSH_TABLES}"
+                f" | {hist['maxc']} | {pairs:,} |",
+                flush=True,
+            )
+    a, b = SCALES
+    for tag, by_n in cands.items():
+        alpha = math.log(by_n[b] / by_n[a]) / math.log(b / a)
+        print(f"candidate-volume exponent {tag}: {alpha:.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
