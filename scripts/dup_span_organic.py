@@ -58,8 +58,14 @@ from edu_data_pipeline_spark.suite import scale_suite  # noqa: E402
 import os  # noqa: E402
 
 ROOT = os.environ.get("DUPSPAN_ROOT", "/tmp/dupspan_organic")
-TIERS = {"sf150000": 150_000, "sf600000": 600_000}  # sfNNN: _scanned_bytes parses /sf<digits>/ paths
+TIERS = {"sf150000": 150_000, "sf600000": 600_000, "sf4500000": 4_500_000}
+# sfNNN: _scanned_bytes parses /sf<digits>/ paths. The 4.5M tier crosses
+# the SHARD bound organically too (4.5M docs x 64 bits = 288M > 2^28,
+# _dup_bloom_plan -> 2 shards) — the r10a sharded screen executing with
+# nothing forced; run it with DUPSPAN_REPS=1 (plain-path walls are
+# ~10 min/run there).
 QUERIES = ("docs_dup_spans", "docs_dup_span_ranges")
+REPS = int(os.environ.get("DUPSPAN_REPS", "2"))
 ORACLE_TIER = "sf600000"  # the tier the shipped gate organically activates at
 # One write_table call = one parquet ROW GROUP, and Spark can only
 # split a file at row-group boundaries — a first cut at 50k rows/group
@@ -160,7 +166,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     print(
-        "| tier | docs | path | query | wall s (min of 2) | shuffle MB "
+        "| tier | docs | path | query | wall s (min of reps) | shuffle MB "
         "| scanned MB | sh/in |"
     )
     print("|---|---|---|---|---|---|---|---|")
@@ -180,7 +186,7 @@ def main() -> None:
             )
             for name in QUERIES:
                 walls, shs, scans = [], [], []
-                for _ in range(2):
+                for _ in range(REPS):
                     w, s, i = _run(spark, registry, name, sf_dir)
                     walls.append(w)
                     shs.append(s)
