@@ -878,21 +878,38 @@ def embedding_index(
     embedding frame — build once per index refresh, both sides small
     enough to broadcast per bucket at screen time. ``bits`` pins the
     hyperplane family (default N_LSH_BITS); pass `_lsh_bits(corpus
-    count)` for a large corpus and give semantic_screen_batch the SAME
-    value — index and probe widths must match or buckets are
-    incomparable."""
+    count)` for a large corpus. The chosen width is stamped on the
+    bucket column's metadata so the screen DERIVES it from the index —
+    index and probe widths must match or buckets are incomparable
+    (ADVICE r10: a caller widening the index but probing at the default
+    would silently collapse candidate generation to noise)."""
     from ..suite.scale_suite import N_LSH_BITS, lsh_bucket_rows
 
+    b = N_LSH_BITS if bits is None else bits
     e = corpus.select(
         F.col("vec_id").alias("corpus_vec_id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
     buckets = lsh_bucket_rows(
-        e.select(F.col("corpus_vec_id").alias("vec_id"), "emb"),
-        dim,
-        N_LSH_BITS if bits is None else bits,
-    ).select(F.col("vec_id").alias("corpus_vec_id"), "table_idx", "bucket")
+        e.select(F.col("corpus_vec_id").alias("vec_id"), "emb"), dim, b
+    ).select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        "table_idx",
+        F.col("bucket").alias("bucket", metadata={"lsh_bits": b}),
+    )
     return buckets, e
+
+
+def _index_lsh_bits(index_buckets: DataFrame) -> int | None:
+    """The hyperplane width an embedding_index was built with, read from
+    the bucket column's schema metadata (None if the index predates the
+    stamp or was built by hand)."""
+    try:
+        meta = index_buckets.schema["bucket"].metadata or {}
+    except KeyError:
+        return None
+    b = meta.get("lsh_bits")
+    return int(b) if b is not None else None
 
 
 def semantic_screen_batch(
@@ -906,10 +923,23 @@ def semantic_screen_batch(
     """Per-incoming-vector verdict over a BATCH: bucket-join candidates
     against the index, verify by exact cosine, keep the best corpus
     match at cosine >= tau. Columns: vec_id, matched_corpus_vec (null =
-    novel), best_cosine. ``bits`` must equal the value the index was
-    built with (see embedding_index)."""
+    novel), best_cosine. ``bits=None`` (the default) derives the probe
+    width from the index's own metadata stamp, so index and probe can
+    never drift; an explicit ``bits`` that contradicts the stamp raises
+    instead of silently probing an incomparable bucket space (ADVICE
+    r10)."""
     from ..suite import dround
     from ..suite.scale_suite import N_LSH_BITS, _dot, lsh_bucket_rows
+
+    idx_bits = _index_lsh_bits(index_buckets)
+    if bits is None:
+        bits = idx_bits if idx_bits is not None else N_LSH_BITS
+    elif idx_bits is not None and bits != idx_bits:
+        raise ValueError(
+            f"probe bits={bits} != index bits={idx_bits}: the index was "
+            "built with a different hyperplane width — rebuild the index "
+            "or probe with the same bits (see embedding_index)"
+        )
 
     # norms once per vector on both sides (identical doubles, fewer folds)
     e = batch.select(
@@ -918,9 +948,7 @@ def semantic_screen_batch(
     idx = index_vecs.select(
         "corpus_vec_id", F.col("emb").alias("cemb")
     ).withColumn("cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb"))))
-    in_buckets = lsh_bucket_rows(
-        e.select("vec_id", "emb"), dim, N_LSH_BITS if bits is None else bits
-    )
+    in_buckets = lsh_bucket_rows(e.select("vec_id", "emb"), dim, bits)
     cand = (
         in_buckets.join(index_buckets, ["table_idx", "bucket"])
         .select("vec_id", "corpus_vec_id")
@@ -958,6 +986,7 @@ def foreach_batch_semantic_screen(
     novel_path: str,
     dup_path: str,
     tau: float = 0.32,
+    bits: int | None = None,
 ):
     """Micro-batch router: verified semantic duplicates (with their
     matched corpus vector and cosine) to the duplicate sink, the rest to
@@ -975,7 +1004,7 @@ def foreach_batch_semantic_screen(
         batch_df = batch_df.persist()
         try:
             verdicts = semantic_screen_batch(
-                batch_df, index_buckets, index_vecs, dim, tau
+                batch_df, index_buckets, index_vecs, dim, tau, bits=bits
             ).withColumn("stream_batch_id", F.lit(batch_id))
             dup = verdicts.where(F.col("matched_corpus_vec").isNotNull())
             novel = verdicts.where(F.col("matched_corpus_vec").isNull()).select(
@@ -1003,11 +1032,13 @@ def start_semantic_screen_stream(
     dup_path: str,
     checkpoint: str,
     tau: float = 0.32,
+    bits: int | None = None,
 ):
     return (
         vec_stream.writeStream.foreachBatch(
             foreach_batch_semantic_screen(
-                index_buckets, index_vecs, dim, novel_path, dup_path, tau
+                index_buckets, index_vecs, dim, novel_path, dup_path, tau,
+                bits=bits,
             )
         )
         .option("checkpointLocation", checkpoint)

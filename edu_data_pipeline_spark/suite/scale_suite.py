@@ -1772,7 +1772,7 @@ N_LSH_BITS = 4     # sign bits per table -> 16 buckets each
 # in SQL; log2 of an integer ratio sits safely off integer boundaries
 # except at exact powers of two, where IEEE doubles make it exact in
 # both engines — cross-pinned value-by-value in
-# tests/test_warehouse.py::test_lsh_bits_formula_matches_oracle.
+# tests/test_lsh_adaptive.py::test_lsh_bits_formula_matches_oracle.
 LSH_ADAPT_MIN_VECS = 100_000
 LSH_TARGET_BUCKET = 512
 LSH_MAX_BITS = 24

@@ -52,6 +52,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = pathlib.Path(os.environ.get("STREAMBENCH_ROOT", "/tmp/bench_streaming"))
 REPLICATE = 20   # 5k sf0.1 docs -> 100k stream docs
 N_FILES = 25     # one source file per micro-batch -> 4k docs/batch
+# _progress_stats reads query.recentProgress, which Spark caps at
+# spark.sql.streaming.numRecentProgressUpdates (default 100): more
+# micro-batches than that would silently drop the EARLIEST batches and
+# skew p50/p95 toward the late (warmed-up) ones. Fail loudly instead.
+assert N_FILES <= 100, (
+    "N_FILES > 100 overflows recentProgress retention — accumulate "
+    "batchDuration via a StreamingQueryListener instead"
+)
 EVAL_FRAC = 20   # 1-in-20 docs (5%) form the Bloom eval slice
 
 
@@ -70,6 +78,12 @@ def _progress_stats(query, wall_s: float, n_docs: int) -> dict:
         for b in batches
         if b.get("numInputRows", 0) > 0
     ]
+    if not durs:
+        raise RuntimeError(
+            "no non-empty micro-batches in recentProgress — the stream "
+            "processed nothing (bad source dir?) or every batch reported "
+            "numInputRows=0; percentiles would be meaningless"
+        )
     return {
         "docs": n_docs,
         "wall_sec": round(wall_s, 2),

@@ -867,6 +867,31 @@ def test_semantic_screen_self_retrieval(spark):
         assert r["matched_corpus_vec"] <= r["vec_id"]
 
 
+def test_semantic_screen_derives_index_bits(spark):
+    """ADVICE r10: an index built at a non-default hyperplane width must
+    be probed at that SAME width even when the caller passes nothing —
+    the screen derives bits from the index's metadata stamp. Before the
+    fix, a wide index probed at the default N_LSH_BITS=4 collapsed
+    candidate generation (bucket p = t*bits+b vs t*4+b never lines up
+    past table 0) and streamed near-duplicates to the novel sink."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet").select(
+        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+    )
+    buckets, vecs = jobs.embedding_index(emb, dim=64, bits=7)
+    # default call: derives 7 from the stamp; self-retrieval must be total
+    out = jobs.semantic_screen_batch(emb, buckets, vecs, 64, tau=0.32)
+    assert out.where(SF.col("matched_corpus_vec").isNull()).count() == 0
+    # explicit matching bits: accepted
+    jobs.semantic_screen_batch(emb, buckets, vecs, 64, tau=0.32, bits=7)
+    # explicit contradicting bits: hard error, not silent noise
+    with _pytest.raises(ValueError, match="probe bits"):
+        jobs.semantic_screen_batch(emb, buckets, vecs, 64, tau=0.32, bits=4)
+
+
 def test_batch_partitioned_sink_layout_guard(spark, tmp_path):
     """Pointing a batch_id-partitioned router at a directory holding the
     old APPEND layout (flat files, stream_batch_id as a data column)
