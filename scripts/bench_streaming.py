@@ -1,17 +1,21 @@
-"""Streaming-throughput benchmark (VERDICT r9 next-round #5).
+"""Streaming-throughput benchmark (VERDICT r9 #5; stateful r10 #5).
 
 BENCH covers batch only; the streaming jobs had correctness pytest but
-no measured rows/s. This drives the two heaviest production streams —
-the Bloom decontamination quarantine router and the shingle-index
-near-dup screen — over a sized corpus with Trigger.AvailableNow
-(micro-batch size pinned by maxFilesPerTrigger=1 over fixed-size
-source files), and records per-stream:
+no measured rows/s. This drives four streams — the two heaviest
+stateless screens (Bloom decontamination quarantine router,
+shingle-index near-dup screen) and two STATEFUL jobs (watermarked
+dropDuplicates dedup, sliding-window student metrics) — over sized
+corpora with Trigger.AvailableNow (micro-batch size pinned by
+maxFilesPerTrigger=1 over fixed-size source files), and records
+per-stream:
 
 - docs_per_sec: total stream input docs / end-to-end wall (includes
   source listing, checkpoint commits, and sink writes — the honest
   operational number);
 - batch_ms p50/p95/max from the StreamingQuery progress feed
-  (``batchDuration`` — trigger-to-commit per micro-batch).
+  (``batchDuration`` — trigger-to-commit per micro-batch);
+- for stateful streams, the state-store trajectory from the same feed:
+  rows held (final + max), peak store bytes, total row updates.
 
 Corpus: the driver testdata documents table at $SPARK_GRAFT_SF_DIR
 (default sf0.1, 5k docs), replicated REPLICATE x with offset doc_ids
@@ -61,6 +65,7 @@ assert N_FILES <= 100, (
     "batchDuration via a StreamingQueryListener instead"
 )
 EVAL_FRAC = 20   # 1-in-20 docs (5%) form the Bloom eval slice
+N_EVENTS = 200_000  # synthetic progress events for the stateful streams
 
 
 def _pctl(xs: list[float], p: float) -> float:
@@ -84,7 +89,7 @@ def _progress_stats(query, wall_s: float, n_docs: int) -> dict:
             "processed nothing (bad source dir?) or every batch reported "
             "numInputRows=0; percentiles would be meaningless"
         )
-    return {
+    stats = {
         "docs": n_docs,
         "wall_sec": round(wall_s, 2),
         "docs_per_sec": round(n_docs / wall_s, 1),
@@ -93,6 +98,37 @@ def _progress_stats(query, wall_s: float, n_docs: int) -> dict:
         "batch_ms_p95": round(_pctl(durs, 0.95), 1),
         "batch_ms_max": round(max(durs), 1),
     }
+    # Stateful operators (VERDICT r10 #5): the per-batch state-store
+    # trajectory from the same progress feed — rows held, peak store
+    # bytes, and total row updates across the run. Batches are
+    # chronological in recentProgress, so the last non-empty batch's
+    # numRowsTotal is the end-of-stream state size.
+    per_batch = [
+        b.get("stateOperators") or []
+        for b in batches
+        if b.get("numInputRows", 0) > 0
+    ]
+    if any(per_batch):
+        rows_total = [
+            sum(op.get("numRowsTotal", 0) for op in ops) for ops in per_batch
+        ]
+        mem = [
+            sum(op.get("memoryUsedBytes", 0) for op in ops)
+            for ops in per_batch
+        ]
+        stats.update(
+            {
+                "state_rows_final": rows_total[-1],
+                "state_rows_max": max(rows_total),
+                "state_mem_mb_max": round(max(mem) / 1e6, 2),
+                "state_rows_updated_total": sum(
+                    op.get("numRowsUpdated", 0)
+                    for ops in per_batch
+                    for op in ops
+                ),
+            }
+        )
+    return stats
 
 
 def main() -> None:
@@ -185,6 +221,118 @@ def main() -> None:
 
     bloom.unpersist()
     index.unpersist()
+
+    # --- 3./4. stateful streams (VERDICT r10 #5) -------------------------
+    # Synthetic progress events, deterministic (spark.range, no RNG):
+    # N_EVENTS rows spanning exactly one hour of event time, every
+    # id%5==4 row repeating the previous row's event_id (20% stream
+    # duplicates for the dedup state to drop). Event-time span (1 h) is
+    # kept BELOW the dedup watermark horizon, so no row is ever
+    # late-dropped and the output count is exact: N_EVENTS * 4/5.
+    n_events = N_EVENTS
+    ev_src = ROOT / "events_src"
+    i = F.col("id")
+    key_id = i - (i % 5 == 4).cast("long")
+    (
+        spark.range(n_events)
+        .select(
+            F.concat(F.lit("evt-"), key_id.cast("string")).alias("event_id"),
+            F.concat(
+                F.lit("STU"), F.lpad((i % 2000).cast("string"), 4, "0")
+            ).alias("student_id"),
+            F.concat(
+                F.lit("CRS"), F.lpad((i % 20).cast("string"), 3, "0")
+            ).alias("course_id"),
+            F.element_at(
+                F.array(
+                    F.lit("video_watched"),
+                    F.lit("quiz_completed"),
+                    F.lit("assignment_submitted"),
+                ),
+                (i % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            F.date_format(
+                F.timestamp_seconds(
+                    F.unix_timestamp(F.lit("2024-02-01 10:00:00"))
+                    + (i * 3600 / n_events).cast("long")
+                ),
+                "yyyy-MM-dd'T'HH:mm:ss",
+            ).alias("event_timestamp"),
+            ((i % 100) * 60).cast("string").alias("duration_seconds"),
+            (i % 101).cast("string").alias("score"),
+            F.concat(
+                F.lit("MOD"), F.lpad((i % 5).cast("string"), 3, "0")
+            ).alias("module_id"),
+            (i % 101).cast("string").alias("completion_percentage"),
+        )
+        .repartition(N_FILES)
+        .write.mode("overwrite")
+        .json(str(ev_src))
+    )
+    ref_ts = F.lit("2026-08-15 00:00:00").cast("timestamp")
+    n_distinct = n_events - n_events // 5
+
+    # 3. watermarked exactly-once dedup (dropDuplicates state)
+    out_rows = [0]
+
+    def _count(batch_df, _bid):
+        out_rows[0] += batch_df.count()
+
+    t0 = time.perf_counter()
+    q = (
+        jobs.dedup_event_stream(
+            jobs.clean_event_stream(
+                jobs.read_event_stream_json(
+                    spark, str(ev_src), max_files_per_trigger=1
+                ),
+                ref_ts=ref_ts,
+            )
+        )
+        .writeStream.foreachBatch(_count)
+        .option("checkpointLocation", str(ROOT / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streams["event_dedup_stateful"] = _progress_stats(
+        q, time.perf_counter() - t0, n_events
+    )
+    assert out_rows[0] == n_distinct, (out_rows[0], n_distinct)
+    streams["event_dedup_stateful"]["unique_out"] = out_rows[0]
+
+    # 4. watermarked sliding-window metrics (update mode). Watermark is
+    # widened past the event span so no window is late-dropped and the
+    # state trajectory is the full (window x student) grid.
+    out_rows2 = [0]
+
+    def _count2(batch_df, _bid):
+        out_rows2[0] += batch_df.count()
+
+    t0 = time.perf_counter()
+    q = (
+        jobs.windowed_student_metrics(
+            jobs.clean_event_stream(
+                jobs.read_event_stream_json(
+                    spark, str(ev_src), max_files_per_trigger=1
+                ),
+                ref_ts=ref_ts,
+            ),
+            window_duration="5 minutes",
+            slide="1 minute",
+            watermark="2 hours",
+        )
+        .writeStream.foreachBatch(_count2)
+        .outputMode("update")
+        .option("checkpointLocation", str(ROOT / "ckpt_window"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streams["windowed_metrics_stateful"] = _progress_stats(
+        q, time.perf_counter() - t0, n_events
+    )
+    assert out_rows2[0] > 0
+    streams["windowed_metrics_stateful"]["updates_out"] = out_rows2[0]
 
     line = {
         "metric": "streaming_throughput",

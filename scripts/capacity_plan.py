@@ -80,6 +80,9 @@ QUERIES = [
     "embedding_verified_topk", "docs_chunk_overlap",
     "minhash_estimate_accuracy", "docs_ngram_novelty",
     "docs_tfidf_top_terms", "docs_bpe_pair_stats",
+    # r11: window->map-side-RLE rewrite (the former full-token-volume
+    # sort+exchange deserves a standing scaling row)
+    "docs_bigram_freq",
 ]
 
 TARGET_INPUT_BYTES = 100e12  # 100 TB

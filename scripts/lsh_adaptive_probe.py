@@ -17,6 +17,14 @@ counterfactual the old code would have executed.
 Usage: python scripts/lsh_adaptive_probe.py
 Prints one markdown row per (n, width): bits, buckets, max occupancy,
 candidate pairs, and the fitted exponent per width.
+
+r11 (VERDICT r10 #4): after the candidate counts, the probe also runs
+the REAL registry query (embedding_verified_topk) end-to-end at both
+post-gate scales and fits the standard capacity-row exponent from
+shuffleWriteBytes deltas — the adaptive-path successor to the r10d
+table's sub-gate alpha-1.82 exhibit row, measured with the identical
+protocol (noop write, stage-byte deltas, input = scanned parquet
+bytes).
 """
 
 from __future__ import annotations
@@ -52,7 +60,13 @@ def _corpus(n: int) -> str:
 
 
 def main() -> None:
-    spark = get_spark(app_name="lsh-adaptive-probe")
+    # 64g heap like dup_span_organic: the post-gate capacity fit runs
+    # the REAL verify join over ~10^8-10^9 candidate pairs; the default
+    # 1g local JVM OOMs in the pair-distinct hash aggregate.
+    spark = get_spark(
+        app_name="lsh-adaptive-probe",
+        extra_conf={"spark.driver.memory": "64g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     print("| n | width | bits | buckets/table | max occupancy | candidate pairs |")
     print("|---|---|---|---|---|---|")
@@ -93,6 +107,50 @@ def main() -> None:
     for tag, by_n in cands.items():
         alpha = math.log(by_n[b] / by_n[a]) / math.log(b / a)
         print(f"candidate-volume exponent {tag}: {alpha:.2f}")
+
+    # -- capacity-row fit on the real query, adaptive (post-gate) path --
+    import json
+    import urllib.request
+
+    from edu_data_pipeline_spark.suite import load_all, release_caches
+
+    def shuffle_total() -> int:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as resp:
+            return sum(
+                s.get("shuffleWriteBytes", 0) for s in json.load(resp)
+            )
+
+    fn = load_all()["embedding_verified_topk"].fn
+    print()
+    print("| n (vectors) | input MB | shuffle MB | sh/in |")
+    print("|---|---|---|---|")
+    meas = []
+    for n in SCALES:
+        sf_dir = _corpus(n)
+        scanned = (
+            pathlib.Path(sf_dir) / "embeddings.parquet"
+        ).stat().st_size
+        sh0 = shuffle_total()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        release_caches()
+        spark.catalog.clearCache()
+        sh = shuffle_total() - sh0
+        meas.append((scanned, sh))
+        print(
+            f"| {n:,} | {scanned/1e6:,.1f} | {sh/1e6:,.1f} "
+            f"| {sh/scanned:.3f} |",
+            flush=True,
+        )
+    (in_a, sh_a), (in_b, sh_b) = meas
+    alpha = math.log(sh_b / sh_a) / math.log(in_b / in_a)
+    print(
+        f"embedding_verified_topk shuffle-byte exponent "
+        f"(adaptive, post-gate): alpha {alpha:.2f}"
+    )
     spark.stop()
 
 
