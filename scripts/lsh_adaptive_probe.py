@@ -18,6 +18,15 @@ Usage: python scripts/lsh_adaptive_probe.py
 Prints one markdown row per (n, width): bits, buckets, max occupancy,
 candidate pairs, and the fitted exponent per width.
 
+    python scripts/lsh_adaptive_probe.py --uniform [--dim D]
+
+runs the r11 occupancy-skew control instead: the same histogram fit
+(adaptive width only) on a near-continuous corpus at ambient dimension
+D (default 16), isolating whether the residual exponent comes from the
+corpus or from the hyperplane-arrangement geometry. Measured: the
+corpus is innocent; the planes~dim regime is the cause (alpha 1.25 at
+dim 16 on BOTH corpora -> 1.02 at dim 256).
+
 r11 (VERDICT r10 #4): after the candidate counts, the probe also runs
 the REAL registry query (embedding_verified_topk) end-to-end at both
 post-gate scales and fits the standard capacity-row exponent from
@@ -59,6 +68,68 @@ def _corpus(n: int) -> str:
     return str(d)
 
 
+def _write_uniform_corpus(path: pathlib.Path, n: int, dim: int) -> None:
+    """Control corpus for the occupancy-skew attribution (r11): same
+    deterministic md5 protocol, but each coordinate takes 2 digest
+    bytes (65,536 levels vs the standard corpus's 256), so vector
+    DIRECTIONS are near-continuous.
+
+    MEASURED OUTCOME (recorded in SCALE.md r11a follow-up): at dim 16
+    this control reproduces the standard corpus's exponent exactly
+    (alpha 1.25, max occupancy 2,009 -> 3,777 vs 2,002 -> 3,679), so
+    the residual is NOT corpus discretization — it is the cell-size
+    skew of a random hyperplane arrangement when planes ~ dim. The
+    --dim sweep shows the dose-response: alpha 1.25 (dim 16) -> 1.08
+    (dim 64) -> 1.02 (dim 256), max occupancy collapsing toward the
+    512 mean-occupancy target. Production embedding widths sit in the
+    collapsed regime."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def vec(i: int) -> list[float]:
+        need = (2 * dim + 15) // 16
+        h = b"".join(
+            hashlib.md5(f"u{i}c{k}".encode()).digest() for k in range(need)
+        )
+        return [
+            (int.from_bytes(h[2 * d : 2 * d + 2], "big") - 32767.5) / 32767.5
+            for d in range(dim)
+        ]
+
+    chunk = 20_000
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("label", pa.string()),
+            ("embedding", pa.list_(pa.float64())),
+        ]
+    )
+    with pq.ParquetWriter(path, schema) as w:
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            w.write_table(
+                pa.Table.from_pydict(
+                    {
+                        "vec_id": list(range(lo, hi)),
+                        "label": [f"l{i % 3}" for i in range(lo, hi)],
+                        "embedding": [vec(i) for i in range(lo, hi)],
+                    },
+                    schema=schema,
+                )
+            )
+
+
+def _uniform_corpus(n: int, dim: int = DIM) -> str:
+    d = pathlib.Path(ROOT) / f"uniform{n}d{dim}"
+    p = d / "embeddings.parquet"
+    if not p.exists():
+        d.mkdir(parents=True, exist_ok=True)
+        _write_uniform_corpus(p, n, dim)
+    return str(d)
+
+
 def main() -> None:
     # 64g heap like dup_span_organic: the post-gate capacity fit runs
     # the REAL verify join over ~10^8-10^9 candidate pairs; the default
@@ -68,11 +139,24 @@ def main() -> None:
         extra_conf={"spark.driver.memory": "64g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # --uniform: occupancy-skew control (SCALE.md r11a) — identical
+    # histogram protocol on the near-continuous corpus, adaptive width
+    # only (the counterfactual and the real-query fit belong to the
+    # standard run).
+    uniform = "--uniform" in sys.argv
+    # --dim D (uniform mode only): probe the arrangement geometry at a
+    # different ambient dimension — the r11a follow-up measures whether
+    # the occupancy skew is the planes≈dim regime (16-dim probe corpus)
+    # or survives at production embedding widths.
+    dim = DIM
+    if uniform and "--dim" in sys.argv:
+        dim = int(sys.argv[sys.argv.index("--dim") + 1])
+    corpus_of = (lambda n: _uniform_corpus(n, dim)) if uniform else _corpus
     print("| n | width | bits | buckets/table | max occupancy | candidate pairs |")
     print("|---|---|---|---|---|---|")
     cands: dict[str, dict[int, int]] = {"adaptive(organic)": {}, "fixed-4-bit(old)": {}}
     for n in SCALES:
-        sf_dir = _corpus(n)
+        sf_dir = corpus_of(n)
         e = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select(
@@ -81,12 +165,12 @@ def main() -> None:
             )
         )
         organic = scale_suite._lsh_bits(n)
-        for tag, bits in (
-            ("adaptive(organic)", organic),
-            ("fixed-4-bit(old)", scale_suite.N_LSH_BITS),
-        ):
+        widths = [("adaptive(organic)", organic)]
+        if not uniform:
+            widths.append(("fixed-4-bit(old)", scale_suite.N_LSH_BITS))
+        for tag, bits in widths:
             hist = (
-                scale_suite.lsh_bucket_rows(e, DIM, bits)
+                scale_suite.lsh_bucket_rows(e, dim, bits)
                 .groupBy("table_idx", "bucket")
                 .agg(F.count("*").alias("c"))
                 .agg(
@@ -105,8 +189,14 @@ def main() -> None:
             )
     a, b = SCALES
     for tag, by_n in cands.items():
+        if not by_n:
+            continue
         alpha = math.log(by_n[b] / by_n[a]) / math.log(b / a)
-        print(f"candidate-volume exponent {tag}: {alpha:.2f}")
+        label = f"{tag}, uniform control" if uniform else tag
+        print(f"candidate-volume exponent {label}: {alpha:.2f}")
+    if uniform:
+        spark.stop()
+        return
 
     # -- capacity-row fit on the real query, adaptive (post-gate) path --
     import json
