@@ -358,6 +358,130 @@ def test_scd2_apply_versioning(spark):
     assert all(r["count"] == 1 for r in open_counts)
 
 
+def test_cdc_feed_drives_scd2_dimension(spark, tmp_path):
+    """VERDICT r11 #6: the warehouse layer end-to-end on a change stream —
+    ``cdc.apply_cdc`` folds each CDC batch into the running snapshot,
+    and the snapshot drives ``scd2_apply`` as the dimension load,
+    mirroring the reference's upsert-driven dim maintenance
+    (dags/utils/db.py:45-65) with history kept.
+
+    Composition recipe (pure composition — no new operators): deletes
+    become SCD2 *logical-delete* versions via an ``is_deleted`` tracked
+    column; the delete set per batch is the key diff of consecutive
+    snapshots (prev anti-join new), so the window logic lives only in
+    apply_cdc. Snapshot and dimension are PERSISTED to parquet between
+    batches, as a real warehouse would materialize them.
+
+    Scenario: insert / update / delete / reopen, verifying the version
+    rows and the valid_from→valid_to chain, plus replay idempotency of
+    both halves.
+    """
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.cdc import apply_cdc
+    from edu_data_pipeline_spark.operators.warehouse import scd2_apply
+
+    def load_batch(batch_rows, ts, prev_snap, dim, replay_check=False):
+        """One warehouse load: fold CDC batch -> snapshot; snapshot diff
+        -> SCD2 updates (live rows + tombstones); scd2_apply -> dim.
+        Each load materializes to a NEW path (a load can't overwrite the
+        table it is lazily reading its previous state from)."""
+        ch = spark.createDataFrame(batch_rows, ["k", "v", "_op", "seq"])
+        new_snap = apply_cdc(prev_snap, ch, ["k"], "seq")
+        if replay_check:  # CDC fold is idempotent per batch
+            replay = apply_cdc(new_snap, ch, ["k"], "seq")
+            assert sorted(map(tuple, replay.collect())) == sorted(
+                map(tuple, new_snap.collect())
+            )
+        snap_p = str(tmp_path / f"snapshot_{ts[:7]}")
+        dim_p = str(tmp_path / f"dim_{ts[:7]}")
+        new_snap.write.parquet(snap_p)
+        new_snap = spark.read.parquet(snap_p)
+        live = new_snap.withColumn("is_deleted", F.lit(False))
+        tombstones = (
+            prev_snap.join(new_snap, ["k"], "left_anti").withColumn(
+                "is_deleted", F.lit(True)
+            )
+            if prev_snap is not None
+            else None
+        )
+        updates = (
+            live.unionByName(tombstones) if tombstones is not None else live
+        )
+        batch_ts = F.lit(ts).cast("timestamp")
+        new_dim = scd2_apply(dim, updates, ["k"], ["v", "is_deleted"], batch_ts)
+        new_dim.write.parquet(dim_p)
+        return new_snap, spark.read.parquet(dim_p)
+
+    # t1: inserts k=1 (a), k=2 (b)
+    snap, dim = load_batch(
+        [(1, "a", "I", 10), (2, "b", "I", 11)], "2024-01-01 00:00:00",
+        None, None,
+    )
+    assert dim.count() == 2 and dim.where("is_current").count() == 2
+
+    # t2: update k=1 -> a2, insert k=3 (c), DELETE k=2
+    snap, dim = load_batch(
+        [(1, "a2", "U", 20), (3, "c", "I", 21), (2, None, "D", 22)],
+        "2024-02-01 00:00:00", snap, dim, replay_check=True,
+    )
+    assert {r.k for r in snap.collect()} == {1, 3}
+    hist = {}
+    for r in dim.orderBy("k", "valid_from").collect():
+        hist.setdefault(r.k, []).append(r)
+    # k=1: closed (a) + open (a2)
+    assert [(r.v, bool(r.is_current)) for r in hist[1]] == [
+        ("a", False), ("a2", True)
+    ]
+    assert str(hist[1][0].valid_to) == "2024-02-01 00:00:00"
+    # k=2: closed live (b) + OPEN tombstone — current state "deleted",
+    # payload preserved from the last live version
+    assert [(r.v, bool(r.is_deleted), bool(r.is_current)) for r in hist[2]] == [
+        ("b", False, False), ("b", True, True)
+    ]
+    # k=3: single open version
+    assert [(r.v, bool(r.is_current)) for r in hist[3]] == [("c", True)]
+
+    # t3: REOPEN k=2 with a new payload
+    snap, dim = load_batch(
+        [(2, "b3", "I", 30)], "2024-03-01 00:00:00", snap, dim,
+    )
+    hist = {}
+    for r in dim.orderBy("k", "valid_from").collect():
+        hist.setdefault(r.k, []).append(r)
+    assert [(r.v, bool(r.is_deleted), bool(r.is_current)) for r in hist[2]] == [
+        ("b", False, False),   # original live version
+        ("b", True, False),    # deletion interval, now closed
+        ("b3", False, True),   # reopened
+    ]
+    # version-chain continuity: every closed version hands off exactly at
+    # its successor's valid_from; exactly one open version per key
+    for k, versions in hist.items():
+        for prev_v, next_v in zip(versions, versions[1:]):
+            assert str(prev_v.valid_to) == str(next_v.valid_from), (k, prev_v)
+        assert sum(bool(r.is_current) for r in versions) == 1
+    # untouched keys (1, 3) kept their t2 state through the t3 load
+    assert [(r.v, bool(r.is_current)) for r in hist[1]] == [
+        ("a", False), ("a2", True)
+    ]
+    assert len(hist[3]) == 1
+
+    # dim-load replay idempotency: re-applying the SAME t3 updates at the
+    # same batch_ts must leave the dimension bit-identical (matched rows
+    # compare unchanged and pass through)
+    live = snap.withColumn("is_deleted", F.lit(False))
+    replay_dim = scd2_apply(
+        dim, live, ["k"], ["v", "is_deleted"],
+        F.lit("2024-03-01 00:00:00").cast("timestamp"),
+    )
+    canon = lambda d: sorted(  # noqa: E731
+        (r.k, r.v, bool(r.is_deleted), str(r.valid_from), str(r.valid_to),
+         bool(r.is_current))
+        for r in d.collect()
+    )
+    assert canon(replay_dim) == canon(dim)
+
+
 def test_delta_writer_degrades_gracefully(spark, tmp_path):
     """delta-spark is absent here: the writer must construct, report
     unavailable, and raise a clear error pointing at the parquet twin."""
