@@ -56,15 +56,29 @@ SCALES = (100_000, 400_000)
 DIM = 16
 
 
+def _materialize(p: pathlib.Path, writer, *args) -> None:
+    """Write a corpus parquet ATOMICALLY: a run interrupted mid-
+    ParquetWriter must not leave a truncated file that later runs
+    mistake for a complete corpus and reuse, skewing the measurement
+    (ADVICE r11 #2). The writer targets a temp name in the same
+    directory; os.replace() publishes it only once fully written."""
+    if p.exists():
+        return
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(p.name + ".tmp")
+    try:
+        writer(tmp, *args)
+        os.replace(tmp, p)
+    finally:
+        tmp.unlink(missing_ok=True)
+
+
 def _corpus(n: int) -> str:
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tests"))
     from test_lsh_adaptive import _write_corpus
 
     d = pathlib.Path(ROOT) / f"sf{n}"
-    p = d / "embeddings.parquet"
-    if not p.exists():
-        d.mkdir(parents=True, exist_ok=True)
-        _write_corpus(p, n, DIM)
+    _materialize(d / "embeddings.parquet", _write_corpus, n, DIM)
     return str(d)
 
 
@@ -123,14 +137,48 @@ def _write_uniform_corpus(path: pathlib.Path, n: int, dim: int) -> None:
 
 def _uniform_corpus(n: int, dim: int = DIM) -> str:
     d = pathlib.Path(ROOT) / f"uniform{n}d{dim}"
-    p = d / "embeddings.parquet"
-    if not p.exists():
-        d.mkdir(parents=True, exist_ok=True)
-        _write_uniform_corpus(p, n, dim)
+    _materialize(d / "embeddings.parquet", _write_uniform_corpus, n, dim)
     return str(d)
 
 
+def parse_args(argv: list[str] | None = None):
+    """ADVICE r11 #1: the hand-rolled `--dim` parsing raised IndexError
+    on a missing value, accepted non-positive widths, and silently
+    ignored `--dim` without `--uniform`. argparse + explicit checks."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="lsh_adaptive_probe.py",
+        description=__doc__.splitlines()[0],
+    )
+    parser.add_argument(
+        "--uniform",
+        action="store_true",
+        help="run the r11 occupancy-skew control (near-continuous corpus, "
+        "adaptive width only) instead of the standard probe",
+    )
+    parser.add_argument(
+        "--dim",
+        type=int,
+        default=None,
+        metavar="D",
+        help="ambient dimension for the uniform control corpus "
+        f"(default {DIM}; only meaningful with --uniform)",
+    )
+    args = parser.parse_args(argv)
+    if args.dim is not None and args.dim < 1:
+        parser.error(f"--dim must be >= 1, got {args.dim}")
+    if args.dim is not None and not args.uniform:
+        parser.error(
+            "--dim only applies to the --uniform control corpus; the "
+            "standard probe corpus is pinned at dim "
+            f"{DIM} (its recorded exponents depend on it)"
+        )
+    return args
+
+
 def main() -> None:
+    args = parse_args()
     # 64g heap like dup_span_organic: the post-gate capacity fit runs
     # the REAL verify join over ~10^8-10^9 candidate pairs; the default
     # 1g local JVM OOMs in the pair-distinct hash aggregate.
@@ -143,14 +191,12 @@ def main() -> None:
     # histogram protocol on the near-continuous corpus, adaptive width
     # only (the counterfactual and the real-query fit belong to the
     # standard run).
-    uniform = "--uniform" in sys.argv
+    uniform = args.uniform
     # --dim D (uniform mode only): probe the arrangement geometry at a
     # different ambient dimension — the r11a follow-up measures whether
     # the occupancy skew is the planes≈dim regime (16-dim probe corpus)
     # or survives at production embedding widths.
-    dim = DIM
-    if uniform and "--dim" in sys.argv:
-        dim = int(sys.argv[sys.argv.index("--dim") + 1])
+    dim = args.dim if args.dim is not None else DIM
     corpus_of = (lambda n: _uniform_corpus(n, dim)) if uniform else _corpus
     print("| n | width | bits | buckets/table | max occupancy | candidate pairs |")
     print("|---|---|---|---|---|---|")
