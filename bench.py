@@ -88,6 +88,12 @@ HEADLINE = [
 # engine; the 3-config query stays oracle-checked at sf0.01.
 CALIBRATION = [
     "minhash_band_sweep",
+    # r12 (VERDICT r11 #3): wall-clock witnesses for the r11 map-side
+    # run-length rewrite (sh/in 5.12->0.65 and 0.35->0.04, SCALE.md r11b).
+    # Calibration tier, NOT headline: the frozen r5-53q headline set (and
+    # therefore the cross-round total and shared_r03 ratio) is unchanged.
+    "docs_tfidf_top_terms",
+    "docs_bigram_freq",
 ]
 
 
@@ -96,9 +102,11 @@ N_RUNS = 5  # min-of-N; raised from 3 (VERDICT r5 #2: ±10% band, 3 too few)
 # Query-set version (ADVICE r5 #2): bumped whenever HEADLINE/CALIBRATION
 # membership changes, so history tooling never compares totals across
 # different set definitions (the r4->r5 band-sweep tiering moved the raw
-# 'value' 59.8->51.8 by set change alone). "r5-53q" = the set as frozen
-# in round 5: 53 headline queries + 1 calibration query.
-SET_VERSION = "r5-53q"
+# 'value' 59.8->51.8 by set change alone). "r12-53q+3cal" = the SAME 53
+# headline queries frozen in round 5 (so 'value' and shared_r03.ratio
+# remain directly comparable to every r5-53q row) + 3 calibration
+# queries (band sweep since r4; tf-idf/bigram witnesses added r12).
+SET_VERSION = "r12-53q+3cal"
 
 # Pinned reference for the machine-derived round-over-round ratio
 # (VERDICT r5 #1/#2): BENCH_r03 is the last round before the cache-leak
