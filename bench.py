@@ -116,6 +116,36 @@ SET_VERSION = "r12-53q+3cal"
 R03_REFERENCE = "BENCH_r03.json"
 
 
+def _cpu_mark(mb: int = 1024, reps: int = 3) -> float:
+    """Min-of-``reps`` seconds to SHA-256 a fixed ``mb`` MiB of
+    in-memory data on one thread — a deterministic, data-independent
+    host-speed mark (r12).
+
+    Why: the r10→r11/r12 wall investigation found a UNIFORM 53/53-query
+    ×1.16 multiplier with bit-identical stage bytes on a steal-free
+    idle host — VM effective-CPU variance that busy/steal/loadavg
+    cannot see. Recording a fixed-work mark beside every row makes the
+    next uniform swing attributable from the artifact alone: if wall
+    moves and the mark moves with it, it's the host; if the mark is
+    flat, it's ours. SHA-256 via hashlib runs at C speed, so the mark
+    tracks the CPU, not the Python interpreter; min-of-N discards
+    scheduler preemptions the same way the query timings do (a 256 MiB
+    single-shot mark measured a 27% spread on an idle host — too noisy
+    to be an instrument)."""
+    import hashlib
+
+    buf = b"\xa5" * (1 << 20)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(mb):
+            h.update(buf)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _proc_stat() -> tuple[float, float] | None:
     """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
     line, or None off-Linux. Captured before/after the timed section so
@@ -193,6 +223,7 @@ def main() -> None:
     # stat lied). Wall recorded as warmup_total for transparency; the
     # per-query min and shared-set ratio definitions are unchanged, so
     # BENCH_HISTORY rows stay comparable.
+    mark_pre = _cpu_mark()
     warmup_start = time.perf_counter()
     for name in names:
         registry[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -279,6 +310,11 @@ def main() -> None:
         "set_version": SET_VERSION,
         "iter_totals": iter_totals,
         "iter_hosts": iter_hosts,
+        # fixed-work single-thread host-speed marks, before the warmup
+        # and after the last timed sample (seconds for 256 MiB SHA-256;
+        # see _cpu_mark) — the instrument that separates "the host got
+        # slower" from "the plans got slower" in cross-round wall diffs
+        "cpu_mark_s": [mark_pre, _cpu_mark()],
         "warmup_total": warmup_total,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),
