@@ -48,5 +48,16 @@ def apply_cdc(
     if snapshot is None:
         return survivors
     touched = latest.select(*keys)
-    untouched = snapshot.join(touched, keys, "left_anti")
+    # Null-safe anti-join (<=>), matching merge_upsert: with plain
+    # name-equality a NULL key never matches, so a NULL-key update
+    # DUPLICATED the row (old snapshot row survived the anti-join AND
+    # the survivor was unioned in) and a NULL-key delete was silently
+    # ignored — the same degenerate NULL-key upsert documented and fixed
+    # for merge_upsert (SURVEY §7 hard-part 6), found here by the r12
+    # randomized warehouse properties.
+    cond = None
+    for k in keys:
+        clause = snapshot[k].eqNullSafe(touched[k])
+        cond = clause if cond is None else (cond & clause)
+    untouched = snapshot.join(touched, on=cond, how="left_anti")
     return untouched.unionByName(survivors)

@@ -254,19 +254,30 @@ def scd2_apply(
     open_rows = current.where(F.col("is_current"))
     closed_rows = current.where(~F.col("is_current"))
 
+    # Side-presence after the full-outer join is probed through columns
+    # that are never NULL on their own side — is_current (always true on
+    # an open row) and a literal marker on the update side. Probing
+    # through keys[0] IS NOT NULL (the pre-r12 shape) misread every
+    # legitimately-NULL key as "side absent": a NULL-key update could
+    # never open a version and an existing NULL-key open version was
+    # silently dropped by the next load, even though the join condition
+    # itself was already null-safe. Found by the r12 randomized
+    # warehouse properties (tests/test_warehouse_properties.py).
+    upd_marked = updates.withColumn("__upd_present", F.lit(True))
+
     cond = None
     for k in keys:
-        clause = open_rows[k].eqNullSafe(updates[k])
+        clause = open_rows[k].eqNullSafe(upd_marked[k])
         cond = clause if cond is None else (cond & clause)
 
     changed = None
     for c in tracked_cols:
-        diff = ~open_rows[c].eqNullSafe(updates[c])
+        diff = ~open_rows[c].eqNullSafe(upd_marked[c])
         changed = diff if changed is None else (changed | diff)
 
-    joined = open_rows.alias("cur").join(updates.alias("upd"), cond, "full_outer")
-    upd_key_present = F.col(f"upd.{keys[0]}").isNotNull() if keys else F.lit(True)
-    cur_key_present = F.col(f"cur.{keys[0]}").isNotNull() if keys else F.lit(True)
+    joined = open_rows.alias("cur").join(upd_marked.alias("upd"), cond, "full_outer")
+    upd_key_present = F.col("upd.__upd_present").isNotNull()
+    cur_key_present = F.col("cur.is_current").isNotNull()
 
     # 1. open rows whose key is absent from the batch, or matched-unchanged
     untouched = joined.where(
@@ -285,6 +296,7 @@ def scd2_apply(
             upd_key_present & (~cur_key_present | F.coalesce(changed, F.lit(False)))
         )
         .select("upd.*")
+        .drop("__upd_present")
         .withColumn("valid_from", batch_ts)
         .withColumn("valid_to", far)
         .withColumn("is_current", F.lit(True))

@@ -33,6 +33,40 @@ def test_apply_cdc_idempotent_and_initial_load(spark):
     assert {r.k: r.v for r in again.collect()} == {1: "a"}
 
 
+def test_apply_cdc_null_keys(spark):
+    """Regression (r12): the anti-join against the snapshot must be
+    null-safe (<=>), like merge_upsert's. With plain equality a NULL
+    key never matched, so a NULL-key update DUPLICATED the row and a
+    NULL-key delete was silently ignored."""
+    ch_schema = "k int, v string, _op string, seq int"
+    snap = spark.createDataFrame([(None, "old"), (1, "a")], "k int, v string")
+    upd = spark.createDataFrame([(None, "new", "U", 10)], ch_schema)
+    assert sorted(
+        ((r.k, r.v) for r in apply_cdc(snap, upd, ["k"], "seq").collect()),
+        key=str,
+    ) == [(1, "a"), (None, "new")]
+
+    del_ = spark.createDataFrame([(None, None, "D", 10)], ch_schema)
+    assert [(r.k, r.v) for r in apply_cdc(snap, del_, ["k"], "seq").collect()] == [
+        (1, "a")
+    ]
+
+    # composite key with a null component: only the (1, NULL) row moves
+    snap2 = spark.createDataFrame(
+        [(1, None, "x"), (1, 2, "y")], "a int, b int, v string"
+    )
+    upd2 = spark.createDataFrame(
+        [(1, None, "x2", "U", 5)], "a int, b int, v string, _op string, seq int"
+    )
+    assert sorted(
+        (
+            (r.a, r.b, r.v)
+            for r in apply_cdc(snap2, upd2, ["a", "b"], "seq").collect()
+        ),
+        key=str,
+    ) == [(1, 2, "y"), (1, None, "x2")]
+
+
 def test_profile_table_one_row_per_column(spark):
     df = spark.createDataFrame(
         [(1, "x", 2.0), (2, "y", None), (None, "y", 6.0)],

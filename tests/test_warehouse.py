@@ -358,6 +358,40 @@ def test_scd2_apply_versioning(spark):
     assert all(r["count"] == 1 for r in open_counts)
 
 
+def test_scd2_null_key_versions(spark):
+    """Regression (r12): side presence after the full-outer join used to
+    be probed via `keys[0] IS NOT NULL`, so a legitimately-NULL key
+    could never open a version and an existing NULL-key open version
+    was dropped by the next load. NULL keys must version like any
+    other key (the join condition was already null-safe)."""
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.warehouse import scd2_apply
+
+    schema = "k int, v string"
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+    b1 = spark.createDataFrame([(None, "a"), (1, "x")], schema)
+    dim = scd2_apply(None, b1, ["k"], ["v"], t("2024-01-01 00:00:00"))
+    # NULL-key version survives an untouched load
+    b2 = spark.createDataFrame([(1, "x")], schema)
+    dim = scd2_apply(dim, b2, ["k"], ["v"], t("2024-02-01 00:00:00"))
+    nulls = [r for r in dim.collect() if r.k is None]
+    assert [(r.v, bool(r.is_current)) for r in nulls] == [("a", True)]
+    # NULL-key change closes and reopens
+    b3 = spark.createDataFrame([(None, "b")], schema)
+    dim = scd2_apply(dim, b3, ["k"], ["v"], t("2024-03-01 00:00:00"))
+    nulls = sorted(
+        ((r.v, bool(r.is_current)) for r in dim.collect() if r.k is None),
+        key=str,
+    )
+    assert nulls == [("a", False), ("b", True)]
+    # non-null keys were never disturbed
+    assert [
+        (r.v, bool(r.is_current)) for r in dim.collect() if r.k == 1
+    ] == [("x", True)]
+
+
 def test_cdc_feed_drives_scd2_dimension(spark, tmp_path):
     """VERDICT r11 #6: the warehouse layer end-to-end on a change stream —
     ``cdc.apply_cdc`` folds each CDC batch into the running snapshot,
