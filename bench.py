@@ -311,8 +311,8 @@ def main() -> None:
         "iter_totals": iter_totals,
         "iter_hosts": iter_hosts,
         # fixed-work single-thread host-speed marks, before the warmup
-        # and after the last timed sample (seconds for 256 MiB SHA-256;
-        # see _cpu_mark) — the instrument that separates "the host got
+        # and after the last timed sample (seconds for _cpu_mark's fixed
+        # work, 1 GiB SHA-256) — the instrument that separates "the host got
         # slower" from "the plans got slower" in cross-round wall diffs
         "cpu_mark_s": [mark_pre, _cpu_mark()],
         "warmup_total": warmup_total,

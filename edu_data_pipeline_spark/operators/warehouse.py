@@ -263,7 +263,14 @@ def scd2_apply(
     # silently dropped by the next load, even though the join condition
     # itself was already null-safe. Found by the r12 randomized
     # warehouse properties (tests/test_warehouse_properties.py).
-    upd_marked = updates.withColumn("__upd_present", F.lit(True))
+    # The marker name is derived to be absent from the caller's columns:
+    # a fixed "__upd_present" would silently overwrite (and then drop) a
+    # caller column of the same name, corrupting the opened versions'
+    # payload (ADVICE r12 #4).
+    marker = "__upd_present"
+    while marker in updates.columns:
+        marker = "_" + marker
+    upd_marked = updates.withColumn(marker, F.lit(True))
 
     cond = None
     for k in keys:
@@ -276,7 +283,7 @@ def scd2_apply(
         changed = diff if changed is None else (changed | diff)
 
     joined = open_rows.alias("cur").join(upd_marked.alias("upd"), cond, "full_outer")
-    upd_key_present = F.col("upd.__upd_present").isNotNull()
+    upd_key_present = F.col(f"upd.{marker}").isNotNull()
     cur_key_present = F.col("cur.is_current").isNotNull()
 
     # 1. open rows whose key is absent from the batch, or matched-unchanged
@@ -296,7 +303,7 @@ def scd2_apply(
             upd_key_present & (~cur_key_present | F.coalesce(changed, F.lit(False)))
         )
         .select("upd.*")
-        .drop("__upd_present")
+        .drop(marker)
         .withColumn("valid_from", batch_ts)
         .withColumn("valid_to", far)
         .withColumn("is_current", F.lit(True))

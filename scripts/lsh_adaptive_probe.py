@@ -61,11 +61,15 @@ def _materialize(p: pathlib.Path, writer, *args) -> None:
     ParquetWriter must not leave a truncated file that later runs
     mistake for a complete corpus and reuse, skewing the measurement
     (ADVICE r11 #2). The writer targets a temp name in the same
-    directory; os.replace() publishes it only once fully written."""
+    directory; os.replace() publishes it only once fully written. The
+    temp name is per-process (pid suffix) so two concurrent probe runs
+    cannot race on the same tmp file — a shared name would let one
+    process's finally-unlink or os.replace remove/publish the other's
+    in-progress write (ADVICE r12 #3)."""
     if p.exists():
         return
     p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.with_name(p.name + ".tmp")
+    tmp = p.with_name(f"{p.name}.{os.getpid()}.tmp")
     try:
         writer(tmp, *args)
         os.replace(tmp, p)

@@ -392,6 +392,39 @@ def test_scd2_null_key_versions(spark):
     ] == [("x", True)]
 
 
+def test_scd2_marker_name_collision(spark):
+    """Regression (ADVICE r12): scd2_apply's internal side-presence
+    marker used the fixed name ``__upd_present``; an updates batch
+    carrying a payload column of that exact name was silently
+    overwritten with the literal True and then dropped — corrupting the
+    opened versions. The marker name is now derived to be absent from
+    the caller's columns, so such a payload column must survive intact
+    and still be change-tracked."""
+    from pyspark.sql import functions as F
+
+    from edu_data_pipeline_spark.operators.warehouse import scd2_apply
+
+    schema = "k int, __upd_present string"
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], schema)
+    dim = scd2_apply(None, b1, ["k"], ["__upd_present"], t("2024-01-01 00:00:00"))
+    b2 = spark.createDataFrame([(1, "a2"), (3, "c")], schema)
+    dim = scd2_apply(dim, b2, ["k"], ["__upd_present"], t("2024-02-01 00:00:00"))
+    rows = sorted(
+        (r["k"], r["__upd_present"], bool(r["is_current"]))
+        for r in dim.collect()
+    )
+    # payload values pass through verbatim (no True/None corruption), the
+    # changed key versions, the unchanged key persists, the new key opens
+    assert rows == [
+        (1, "a", False),
+        (1, "a2", True),
+        (2, "b", True),
+        (3, "c", True),
+    ]
+
+
 def test_cdc_feed_drives_scd2_dimension(spark, tmp_path):
     """VERDICT r11 #6: the warehouse layer end-to-end on a change stream —
     ``cdc.apply_cdc`` folds each CDC batch into the running snapshot,
