@@ -146,6 +146,48 @@ def _cpu_mark(mb: int = 1024, reps: int = 3) -> float:
     return round(best, 4)
 
 
+def _cpu_mark_mt(
+    mb_per_thread: int = 256, threads: int = 32, reps: int = 5
+) -> float:
+    """Min-of-``reps`` seconds for ``threads`` concurrent workers to each
+    SHA-256 ``mb_per_thread`` MiB — the PARALLEL-throughput companion to
+    :func:`_cpu_mark` (VERDICT r12 #3).
+
+    Why a second mark: r12's first cpu_mark cross-row datapoint showed
+    single-thread speed and 32-thread suite wall move INDEPENDENTLY (a
+    0.931-ratio row had a faster single-thread mark than the 0.868 row) —
+    a vCPU can be individually fast while the host caps aggregate
+    throughput (shared-core contention, power/thermal width limits,
+    hypervisor scheduling quotas). hashlib releases the GIL for buffers
+    this size, so the thread pool genuinely loads all 32 executor-thread
+    slots the suite itself uses. Min-of-5 (vs the ST mark's 3): the
+    aggregate-throughput quantity is inherently burstier — any other
+    runnable thread on the host steals a whole rep, and reps cost ~0.2 s
+    each so the extra two are free. Reading the pair: MT mark moves with
+    wall while ST mark is flat -> host parallel-capacity window (the r12
+    mystery case); both marks move -> host frequency window; both flat
+    while wall moves -> look at our plans/stage bytes (instrument of
+    record either way, SCALE.md)."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"\xa5" * (1 << 20)
+
+    def work(_):
+        h = hashlib.sha256()
+        for _ in range(mb_per_thread):
+            h.update(buf)
+        return h.digest()
+
+    best = float("inf")
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(pool.map(work, range(threads)))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _proc_stat() -> tuple[float, float] | None:
     """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat cpu
     line, or None off-Linux. Captured before/after the timed section so
@@ -224,6 +266,7 @@ def main() -> None:
     # per-query min and shared-set ratio definitions are unchanged, so
     # BENCH_HISTORY rows stay comparable.
     mark_pre = _cpu_mark()
+    mark_mt_pre = _cpu_mark_mt()
     warmup_start = time.perf_counter()
     for name in names:
         registry[name].fn(spark, sf_dir).write.format("noop").mode(
@@ -315,6 +358,12 @@ def main() -> None:
         # work, 1 GiB SHA-256) — the instrument that separates "the host got
         # slower" from "the plans got slower" in cross-round wall diffs
         "cpu_mark_s": [mark_pre, _cpu_mark()],
+        # fixed-work 32-thread throughput marks at the same two instants
+        # (seconds for 32 concurrent 256 MiB SHA-256 workers; see
+        # _cpu_mark_mt) — separates "individually-fast vCPUs, capped
+        # aggregate" host windows from frequency windows (r12 showed the
+        # single-thread mark alone cannot explain 32-thread wall swings)
+        "cpu_mark_mt_s": [mark_mt_pre, _cpu_mark_mt()],
         "warmup_total": warmup_total,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),

@@ -30,12 +30,24 @@ def _bands(docs: DataFrame) -> DataFrame:
     return band_rows(minhash_signatures_df(docs))
 
 
+def _read_index(spark: SparkSession, path: str, bands: DataFrame) -> DataFrame:
+    """Read the standing index WITH the band schema supplied. Inference
+    would crash on a legitimately EMPTY index: a corpus (or bootstrap
+    slice) whose every document is shorter than one shingle writes zero
+    band rows, and a partitionBy write of zero rows leaves only _SUCCESS
+    — no footer to infer from (found by the r13 index property fuzz).
+    The supplied schema also pins the column ORDER, which partition-
+    directory discovery otherwise rotates (band_idx last)."""
+    return spark.read.schema(bands.schema).parquet(path)
+
+
 def build_band_index(docs: DataFrame, path: str) -> int:
     """Hash the corpus once and materialize its band rows. Returns the
     number of band rows written (counted from the written parquet
     footers — re-counting the lineage would hash the corpus twice)."""
-    _bands(docs).write.mode("overwrite").partitionBy("band_idx").parquet(path)
-    return docs.sparkSession.read.parquet(path).count()
+    bands = _bands(docs)
+    bands.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    return _read_index(docs.sparkSession, path, bands).count()
 
 
 def append_to_index(new_docs: DataFrame, path: str) -> int:
@@ -43,9 +55,10 @@ def append_to_index(new_docs: DataFrame, path: str) -> int:
     in the existing band_idx partitions; no rewrite). Returns the rows
     appended (index total after minus before, both footer-cheap)."""
     spark = new_docs.sparkSession
-    before = spark.read.parquet(path).count()
-    _bands(new_docs).write.mode("append").partitionBy("band_idx").parquet(path)
-    return spark.read.parquet(path).count() - before
+    bands = _bands(new_docs)
+    before = _read_index(spark, path, bands).count()
+    bands.write.mode("append").partitionBy("band_idx").parquet(path)
+    return _read_index(spark, path, bands).count() - before
 
 
 def screen_against_index(
@@ -57,10 +70,10 @@ def screen_against_index(
     zero-collision docs report 0/false. Candidates then go to the exact
     verify (suite.minhash_verified_pairs shape) before any drop decision;
     band collision alone is the recall-stage signal."""
-    index = spark.read.parquet(path).select(
+    batch_bands = _bands(new_docs)
+    index = _read_index(spark, path, batch_bands).select(
         F.col("doc_id").alias("corpus_doc_id"), "band_idx", "band_key"
     )
-    batch_bands = _bands(new_docs)
     hits = (
         batch_bands.join(index, ["band_idx", "band_key"])
         .where(F.col("doc_id") != F.col("corpus_doc_id"))

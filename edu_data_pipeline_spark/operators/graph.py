@@ -148,6 +148,17 @@ def connected_components(
     # the global registry for the harness's release_caches().
     from ..caches import local_checkpoint, track_checkpoint
 
+    # NULL endpoints are dropped up front: an edge with a NULL id cannot
+    # assert a connection between two IDENTIFIED documents, and letting a
+    # NULL into the active set double-emitted every NULL vertex (the loop
+    # labeled it NULL->NULL while the isolated anti-join — null-unsafe by
+    # SQL semantics — passed the same vertex through again; found by the
+    # r13 graph property fuzz, the r12 NULL-key bug class). NULL vertices
+    # in ``vertices`` therefore take the isolated branch exactly once,
+    # as singletons with a NULL component label.
+    sym_edges = sym_edges.where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    )
     sym, h_sym = local_checkpoint(sym_edges)  # freeze (possibly expensive) lineage
     static_handles = [h_sym]
     verts = vertices.select(F.col(vertex_col).alias("doc_id"))

@@ -2728,3 +2728,227 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(gini, 6).alias("gini"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse change-data layer (VERDICT r12 #1): oracle-checked registry rows
+# for apply_cdc and scd2_apply — the r12 NULL-key bugs lived in exactly the
+# two operators with no registry entry, so no CORRECTNESS row or sweep could
+# ever have caught a wrong fold. Both rows build a DETERMINISTIC feed from
+# the orders/customer tables (modular-arithmetic selections so every op
+# class fires: in-batch supersession, delete-wins, insert-after-delete
+# resurrection, matched-unchanged passthrough, brand-new keys, and NULL keys
+# on every path). Reference semantics: the upsert contract of
+# dags/utils/db.py:45-65 extended with D-ops (cdc) and version history
+# (scd2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_fold",
+    oracle="""
+    WITH snap AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status, o_custkey AS val
+        FROM orders WHERE o_orderkey % 3 <> 0
+        UNION ALL SELECT NULL, 'SN', 0
+    ),
+    chg AS (
+        SELECT o_orderkey AS k, 'U' AS op, 1 AS seq, 'U1' AS status,
+               o_custkey + 1 AS val
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 'U2', o_custkey + 2
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, 'D', 3, NULL, NULL
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'I', 4, 'I4', o_custkey + 4
+        FROM orders WHERE o_orderkey % 11 = 3
+        UNION ALL SELECT NULL, 'D', 0, 'X', 0
+        UNION ALL SELECT NULL, 'U', 1, 'NU', 42
+    ),
+    latest AS (
+        SELECT k, op, status, val FROM (
+            SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM chg
+        ) WHERE rn = 1
+    )
+    SELECT s.k AS k, s.status AS status, s.val AS val FROM snap s
+    WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.k IS NOT DISTINCT FROM s.k)
+    UNION ALL
+    SELECT k, status, val FROM latest WHERE op <> 'D'
+    """,
+)
+def cdc_snapshot_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold a deterministic I/U/D change feed (incl. NULL keys) over a
+    snapshot with apply_cdc; the oracle is the null-safe last-change-wins
+    QUALIFY fold minus deletes. Feed classes by key residue: %2 -> U@1,
+    %5 -> U@2 (in-batch supersession), %7 -> D@3 (delete wins), %11==3 ->
+    I@4 (insert-after-delete resurrection where residues overlap), plus a
+    NULL-key D@0 superseded by a NULL-key U@1 against a NULL-key snapshot
+    row — the exact path whose non-null-safe anti-join duplicated/ignored
+    rows before the r12 fix (operators/cdc.py:58).
+
+    Scale: one window over (key, seq) + one null-safe anti-join — the
+    merge_upsert shuffle family; both sides hash-partition on the key."""
+    from ..operators.cdc import apply_cdc
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    snap = (
+        o.where(F.col("o_orderkey") % 3 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_custkey").alias("val"),
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT CAST(NULL AS BIGINT) AS k, 'SN' AS status,"
+                " CAST(0 AS BIGINT) AS val"
+            )
+        )
+    )
+
+    def piece(pred, op: str, seq: int, status_col, val_col) -> DataFrame:
+        return o.where(pred).select(
+            F.col("o_orderkey").alias("k"),
+            status_col.cast("string").alias("status"),
+            val_col.cast("bigint").alias("val"),
+            F.lit(op).alias("_op"),
+            F.lit(seq).cast("int").alias("seq"),
+        )
+
+    key = F.col("o_orderkey")
+    cust = F.col("o_custkey")
+    chg = (
+        piece(key % 2 == 0, "U", 1, F.lit("U1"), cust + 1)
+        .unionByName(piece(key % 5 == 0, "U", 2, F.lit("U2"), cust + 2))
+        .unionByName(piece(key % 7 == 0, "D", 3, F.lit(None), F.lit(None)))
+        .unionByName(piece(key % 11 == 3, "I", 4, F.lit("I4"), cust + 4))
+        .unionByName(
+            spark.sql(
+                "SELECT CAST(NULL AS BIGINT) AS k, 'X' AS status,"
+                " CAST(0 AS BIGINT) AS val, 'D' AS _op, CAST(0 AS INT) AS seq"
+            )
+        )
+        .unionByName(
+            spark.sql(
+                "SELECT CAST(NULL AS BIGINT) AS k, 'NU' AS status,"
+                " CAST(42 AS BIGINT) AS val, 'U' AS _op, CAST(1 AS INT) AS seq"
+            )
+        )
+    )
+    return apply_cdc(snap, chg, keys=["k"], order_col="seq")
+
+
+@register(
+    "scd2_dim_history",
+    oracle="""
+    WITH l1 AS (
+        SELECT c_custkey AS k, c_mktsegment AS seg,
+               CAST(c_nationkey AS INTEGER) AS nat
+        FROM customer WHERE c_custkey % 4 <> 0
+        UNION ALL SELECT NULL, 'NSEG', 0
+    ),
+    l2 AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED'
+                    ELSE c_mktsegment END AS seg,
+               CAST(c_nationkey AS INTEGER) AS nat
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL SELECT NULL, 'NSEG2', 0
+    ),
+    j AS (
+        SELECT a.k AS k1, a.seg AS seg1, a.nat AS nat1, a.p AS p1,
+               b.k AS k2, b.seg AS seg2, b.nat AS nat2, b.p AS p2
+        FROM (SELECT *, TRUE AS p FROM l1) a
+        FULL OUTER JOIN (SELECT *, TRUE AS p FROM l2) b
+        ON a.k IS NOT DISTINCT FROM b.k
+    ),
+    flags AS (
+        SELECT *,
+               COALESCE(p1, FALSE) AND COALESCE(p2, FALSE)
+                 AND (seg1 IS DISTINCT FROM seg2
+                      OR nat1 IS DISTINCT FROM nat2) AS changed
+        FROM j
+    )
+    SELECT k1 AS k, seg1 AS seg, nat1 AS nat,
+           '2024-01-01 00:00:00' AS valid_from,
+           '9999-12-31 00:00:00' AS valid_to,
+           TRUE AS is_current
+    FROM flags WHERE COALESCE(p1, FALSE) AND NOT changed
+    UNION ALL
+    SELECT k1, seg1, nat1,
+           '2024-01-01 00:00:00',
+           '2024-02-01 00:00:00', FALSE
+    FROM flags WHERE changed
+    UNION ALL
+    SELECT k2, seg2, nat2,
+           '2024-02-01 00:00:00',
+           '9999-12-31 00:00:00', TRUE
+    FROM flags WHERE COALESCE(p2, FALSE)
+      AND (NOT COALESCE(p1, FALSE) OR changed)
+    """,
+)
+def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic dimension loads at fixed batch timestamps folded
+    through scd2_apply; the oracle derives the expected version table in
+    SQL from the same two loads (never-null presence markers — the shape
+    of the r12 fix, operators/warehouse.py:256). Load classes by key
+    residue: odd keys -> single open v1 (absent from load 2); keys ≡ 2
+    (mod 4) -> matched, changed iff %3==0 (closed v1 + open v2) else
+    passthrough; keys ≡ 0 (mod 4) -> brand-new at load 2; plus a NULL key
+    that changes segment between loads — the exact path the pre-r12
+    `keys[0] IS NOT NULL` presence probe mishandled.
+
+    Scale: one co-partitioned full-outer join per load on the natural
+    key; history rows never re-enter the join working set."""
+    from ..operators.warehouse import scd2_apply
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t2 = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    null_row = (
+        "SELECT CAST(NULL AS BIGINT) AS k, '{seg}' AS seg, CAST(0 AS INT) AS nat"
+    )
+    load1 = (
+        c.where(F.col("c_custkey") % 4 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").cast("int").alias("nat"),
+        )
+        .unionByName(spark.sql(null_row.format(seg="NSEG")))
+    )
+    load2 = (
+        c.where(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.col("c_nationkey").cast("int").alias("nat"),
+        )
+        .unionByName(spark.sql(null_row.format(seg="NSEG2")))
+    )
+    dim = scd2_apply(None, load1, ["k"], ["seg", "nat"], t1)
+    dim = scd2_apply(dim, load2, ["k"], ["seg", "nat"], t2)
+    # The validity columns are presented as strings: the operator's
+    # default far-future sentinel (9999-12-31) is a perfectly valid
+    # TIMESTAMP but exceeds Arrow's timestamp[ns] range, so the
+    # toPandas-based comparison harness (driver and local sweep) cannot
+    # transport it. String form is lossless at second precision and
+    # hash-identical across engines.
+    return dim.select(
+        "k",
+        "seg",
+        "nat",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.col("valid_to").cast("string").alias("valid_to"),
+        "is_current",
+    )

@@ -83,6 +83,9 @@ QUERIES = [
     # r11: window->map-side-RLE rewrite (the former full-token-volume
     # sort+exchange deserves a standing scaling row)
     "docs_bigram_freq",
+    # r13 (VERDICT r12 #1): the warehouse change-data rows — one window +
+    # null-safe anti-join (cdc) and a full-outer merge per load (scd2)
+    "cdc_snapshot_fold", "scd2_dim_history",
 ]
 
 TARGET_INPUT_BYTES = 100e12  # 100 TB

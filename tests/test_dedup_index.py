@@ -119,3 +119,27 @@ def test_cdc_chunks_stable_under_insertion(spark):
     # fixed-stride chunk (survivors ~0)
     assert cdc_survivors >= int(0.8 * len(base)), (cdc_survivors, len(base))
     assert cdc_survivors > stride_survivors
+
+
+def test_empty_corpus_index_lifecycle(spark, tmp_path):
+    """Deterministic regression (r13, found by the index property fuzz):
+    a corpus whose every document is shorter than one shingle writes ZERO
+    band rows, and a partitionBy write of zero rows leaves only _SUCCESS
+    — schema inference on read-back then crashed build/screen/append.
+    The index readers now supply the band schema, so an empty index is a
+    well-defined state: build returns 0, screening any batch against it
+    reports all-clear, and a later append bootstraps it."""
+    docs = spark.createDataFrame([(0, ""), (1, "two words")], "doc_id long, text string")
+    path = str(tmp_path / "band_index")
+    assert dedup_index.build_band_index(docs, path) == 0
+
+    batch = spark.createDataFrame([(5, "alpha beta gamma delta")], "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_corpus_matches"], r["is_dup_candidate"])
+           for r in dedup_index.screen_against_index(spark, batch, path).collect()}
+    assert out == {5: (0, False)}
+
+    # bootstrap-by-append: the first real rows land in the empty index
+    assert dedup_index.append_to_index(batch, path) == 4  # N_BANDS rows
+    copy = batch.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    again = dedup_index.screen_against_index(spark, copy, path).collect()[0]
+    assert (again["n_corpus_matches"], again["is_dup_candidate"]) == (1, True)

@@ -125,3 +125,34 @@ def test_cc_skew_threshold_chain_and_no_hot_keys(spark):
         got, _ = connected_components(verts, sym, skew_threshold=thr)
         assert _labels_dict(got) == _labels_dict(base)
         assert set(_labels_dict(got).values()) == {0}
+
+
+def test_cc_null_ids_single_emission(spark):
+    """Deterministic regression (r13, found by the graph property fuzz):
+    a NULL vertex id that ALSO appeared as an edge endpoint was emitted
+    twice — once labeled by the active-set loop (NULL -> NULL) and once
+    more by the isolated anti-join, which is null-unsafe by SQL
+    semantics. Contract now: NULL-endpoint edges assert no connection
+    (dropped); each NULL vertex row labels exactly once, as a singleton
+    with a NULL component."""
+    from pyspark.sql import types as T
+
+    vs = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)],
+        T.StructType([T.StructField("doc_id", T.IntegerType())]),
+    )
+    es = spark.createDataFrame(
+        [(1, 2), (None, 3), (3, None)],
+        T.StructType(
+            [
+                T.StructField("doc_a", T.IntegerType()),
+                T.StructField("doc_b", T.IntegerType()),
+            ]
+        ),
+    )
+    for kw in ({}, {"skew_threshold": 1}):
+        labels, _ = connected_components(vs, symmetrize_edges(es), **kw)
+        got = sorted(((r.doc_id, r.component) for r in labels.collect()), key=str)
+        # vertex 3's only edges had NULL endpoints -> isolated singleton;
+        # the NULL vertex appears ONCE, component NULL
+        assert got == [(1, 1), (2, 1), (3, 3), (None, None)]
