@@ -37,7 +37,26 @@ def _read_index(spark: SparkSession, path: str, bands: DataFrame) -> DataFrame:
     band rows, and a partitionBy write of zero rows leaves only _SUCCESS
     — no footer to infer from (found by the r13 index property fuzz).
     The supplied schema also pins the column ORDER, which partition-
-    directory discovery otherwise rotates (band_idx last)."""
+    directory discovery otherwise rotates (band_idx last).
+
+    When the index is NON-empty, the on-disk footer schema is asserted
+    against the supplied one (ADVICE r13): a schema-supplied read of an
+    index written by an older/newer band layout would otherwise silently
+    null-fill renamed columns and produce wrong screen counts, where
+    inference used to surface the mismatch as an error. Footer-only
+    read, no data scan."""
+    try:
+        on_disk = {f.name for f in spark.read.parquet(path).schema.fields}
+    except Exception:
+        on_disk = None  # legitimately empty index: nothing to drift from
+    if on_disk is not None:
+        want = {f.name for f in bands.schema.fields}
+        if on_disk != want:
+            raise ValueError(
+                "dedup index at %r has drifted from the current band "
+                "layout: on-disk columns %s vs expected %s — rebuild the "
+                "index with build_band_index" % (path, sorted(on_disk), sorted(want))
+            )
     return spark.read.schema(bands.schema).parquet(path)
 
 

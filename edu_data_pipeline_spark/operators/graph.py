@@ -117,6 +117,14 @@ def connected_components(
     (src, dst) BOTH directions (see :func:`symmetrize_edges`). Returns
     ``(labels, rounds_used)`` where labels has (vertex_col, component).
 
+    NULL contract (r13 fuzz-defined, ADVICE-r13-extended): an edge with
+    a NULL endpoint asserts no connection and is dropped; a NULL vertex
+    row labels as a singleton with a NULL component, once per input row;
+    and every NON-NULL id mentioned anywhere — in ``vertices`` or as
+    either endpoint of any edge, including dropped NULL-endpoint edges —
+    is emitted exactly once (ids only ever seen in dropped edges label
+    as their own singleton rather than vanishing).
+
     If the loop exhausts ``max_rounds`` while labels are still changing
     (possible for the plain min-label scheme on chains longer than the
     cap), the labels are NOT a fixpoint: a
@@ -156,12 +164,35 @@ def connected_components(
     # r13 graph property fuzz, the r12 NULL-key bug class). NULL vertices
     # in ``vertices`` therefore take the isolated branch exactly once,
     # as singletons with a NULL component label.
-    sym_edges = sym_edges.where(
+    raw_edges = sym_edges
+    sym_edges = raw_edges.where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
     sym, h_sym = local_checkpoint(sym_edges)  # freeze (possibly expensive) lineage
     static_handles = [h_sym]
     verts = vertices.select(F.col(vertex_col).alias("doc_id"))
+    # The dropped NULL-endpoint edges may still MENTION identified
+    # vertices (ADVICE r13): a vertex whose only edges are NULL-endpoint
+    # ones, and which the caller omitted from ``vertices``, must not
+    # vanish — it asserts no connection, so it labels as its own
+    # singleton, same as any edge-only vertex did before the NULL drop.
+    # Derived from the caller's (pre-checkpoint) lineage because the
+    # edge checkpoint is freed when the loop ends, while this branch is
+    # part of the RETURNED lazy frame; the cost is one extra filter scan
+    # of the edge lineage at consumption, matching how ``verts`` itself
+    # re-reads the caller's vertices lineage.
+    dropped = raw_edges.where(F.col("src").isNull() | F.col("dst").isNull())
+    rescued = (
+        dropped.select(F.col("src").alias("doc_id"))
+        .unionByName(dropped.select(F.col("dst").alias("doc_id")))
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+    )
+    # Anti-join keeps caller-supplied vertex rows authoritative (their
+    # multiplicity is preserved; rescued ids already present add nothing)
+    # and the later anti-join against the active set keeps rescued ids
+    # that ALSO have real edges out of the isolated branch.
+    verts = verts.unionByName(rescued.join(verts, "doc_id", "left_anti"))
     # Only edge-touching vertices can ever change labels; at corpus scale
     # the overwhelming majority of documents are in NO near-dup pair, so
     # looping over all of them would pay |V| join rows per round for

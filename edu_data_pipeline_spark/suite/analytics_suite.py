@@ -2804,12 +2804,16 @@ def cdc_snapshot_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
+    # k/val cast explicitly (ADVICE r13): without the casts the output
+    # type rides on the parquet PHYSICAL key types coercing with the
+    # BIGINT NULL-literal legs under unionByName — a generator emitting
+    # INT32 keys would shift the row hash vs the oracle's native types.
     snap = (
         o.where(F.col("o_orderkey") % 3 != 0)
         .select(
-            F.col("o_orderkey").alias("k"),
+            F.col("o_orderkey").cast("bigint").alias("k"),
             F.col("o_orderstatus").alias("status"),
-            F.col("o_custkey").alias("val"),
+            F.col("o_custkey").cast("bigint").alias("val"),
         )
         .unionByName(
             spark.sql(
@@ -2821,7 +2825,7 @@ def cdc_snapshot_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def piece(pred, op: str, seq: int, status_col, val_col) -> DataFrame:
         return o.where(pred).select(
-            F.col("o_orderkey").alias("k"),
+            F.col("o_orderkey").cast("bigint").alias("k"),
             status_col.cast("string").alias("status"),
             val_col.cast("bigint").alias("val"),
             F.lit(op).alias("_op"),
@@ -2923,10 +2927,13 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_row = (
         "SELECT CAST(NULL AS BIGINT) AS k, '{seg}' AS seg, CAST(0 AS INT) AS nat"
     )
+    # k cast explicitly on both customer-derived legs (ADVICE r13, same
+    # reasoning as cdc_snapshot_fold's snap): output type must not ride
+    # on parquet physical key types coercing with the BIGINT NULL legs.
     load1 = (
         c.where(F.col("c_custkey") % 4 != 0)
         .select(
-            F.col("c_custkey").alias("k"),
+            F.col("c_custkey").cast("bigint").alias("k"),
             F.col("c_mktsegment").alias("seg"),
             F.col("c_nationkey").cast("int").alias("nat"),
         )
@@ -2935,7 +2942,7 @@ def scd2_dim_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     load2 = (
         c.where(F.col("c_custkey") % 2 == 0)
         .select(
-            F.col("c_custkey").alias("k"),
+            F.col("c_custkey").cast("bigint").alias("k"),
             F.when(F.col("c_custkey") % 3 == 0, F.lit("CHANGED"))
             .otherwise(F.col("c_mktsegment"))
             .alias("seg"),

@@ -143,3 +143,34 @@ def test_empty_corpus_index_lifecycle(spark, tmp_path):
     copy = batch.select((F.col("doc_id") + 1).alias("doc_id"), "text")
     again = dedup_index.screen_against_index(spark, copy, path).collect()[0]
     assert (again["n_corpus_matches"], again["is_dup_candidate"]) == (1, True)
+
+
+def test_index_schema_drift_detected(spark, tmp_path):
+    """ADVICE r13: schema-supplied reads of a NON-empty index silently
+    null-fill columns an older band layout named differently, corrupting
+    screen counts where inference used to fail loudly. _read_index now
+    asserts the on-disk footer's column set against the supplied schema
+    (footer-only, no data scan) and refuses with a rebuild hint."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "band_index")
+    assert dedup_index.build_band_index(docs, path) == 4
+
+    # simulate an index written by an older layout: band_key -> bucket
+    legacy = spark.read.parquet(path).withColumnRenamed("band_key", "bucket")
+    legacy_path = str(tmp_path / "legacy_index")
+    legacy.write.partitionBy("band_idx").parquet(legacy_path)
+
+    with pytest.raises(ValueError, match="drifted.*rebuild"):
+        dedup_index.screen_against_index(spark, docs, legacy_path).collect()
+    with pytest.raises(ValueError, match="drifted.*rebuild"):
+        dedup_index.append_to_index(docs, legacy_path)
+
+    # the healthy index still reads fine through the same assert
+    hit = dedup_index.screen_against_index(
+        spark, docs.select((F.col("doc_id") + 1).alias("doc_id"), "text"), path
+    ).collect()[0]
+    assert (hit["n_corpus_matches"], hit["is_dup_candidate"]) == (1, True)

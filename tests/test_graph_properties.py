@@ -9,11 +9,15 @@ graphs MULTIPLEXED into one Spark job per example (vertex ids are
 namespaced per feed — the same one-job trick as the CDC property in
 test_warehouse_properties.py, since the vertex id is a single column).
 
-The NULL-id contract (defined by this fuzz, r13): an edge with a NULL
-endpoint asserts no connection and is dropped; a NULL vertex row labels
-as a singleton with a NULL component, exactly once. The pre-r13 code
-double-emitted every NULL vertex that also appeared in the edge list
-(loop label + isolated anti-join passthrough).
+The NULL-id contract (defined by this fuzz, r13; extended ADVICE r13):
+an edge with a NULL endpoint asserts no connection and is dropped; a
+NULL vertex row labels as a singleton with a NULL component, exactly
+once; and a non-NULL id mentioned ONLY as the other endpoint of a
+dropped NULL-edge (absent from the vertices frame) still labels as its
+own singleton instead of vanishing. The pre-r13 code double-emitted
+every NULL vertex that also appeared in the edge list (loop label +
+isolated anti-join passthrough); the first r13 fix silently dropped the
+edge-only-via-NULL-edge vertices this fuzz now pins.
 """
 
 from __future__ import annotations
@@ -68,9 +72,14 @@ def _materialize_feed(fid: int, f) -> tuple[list, list]:
     e_rows += [(fid * BASE + 100 + i, fid * BASE + 101 + i) for i in range(chain)]
     e_rows += [(fid * BASE + 200, fid * BASE + 201 + i) for i in range(star)]
     verts = {ns(v) for v in extra}
+    # Only endpoints of fully-identified edges are auto-covered by the
+    # vertices frame; NULL-edge endpoints are covered only when `extra`
+    # happens to draw them — so examples exercise both the present and
+    # the absent (rescued-singleton) cases of the ADVICE-r13 contract.
     for a, b in e_rows:
-        verts.add(a)
-        verts.add(b)
+        if a is not None and b is not None:
+            verts.add(a)
+            verts.add(b)
     # vertices: one row per id; None included at most once per feed here,
     # its output multiplicity contract (one row out per row in) is
     # asserted by the dedicated NULL test below.
@@ -79,8 +88,9 @@ def _materialize_feed(fid: int, f) -> tuple[list, list]:
 
 def _oracle_components(v_rows: list, e_rows: list) -> set[frozenset]:
     """Union-find partition over the non-NULL vertices; NULL-endpoint
-    edges ignored; each NULL vertex row its own singleton (represented
-    here as frozenset({None}) occurrences counted separately)."""
+    edges assert no connection but their non-NULL endpoint still counts
+    as a (singleton-by-default) vertex; each NULL vertex row its own
+    singleton (counted separately by the caller)."""
     parent: dict = {}
 
     def find(x):
@@ -99,6 +109,11 @@ def _oracle_components(v_rows: list, e_rows: list) -> set[frozenset]:
             parent.setdefault(v, v)
     for a, b in e_rows:
         if a is None or b is None:
+            # dropped edge: no connection, but a non-NULL endpoint is
+            # still a mentioned vertex and must label as a singleton
+            for v in (a, b):
+                if v is not None:
+                    parent.setdefault(v, v)
             continue
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -151,8 +166,9 @@ def test_components_match_union_find(spark, feeds, pointer_jump):
     assert all(c == min(g) for c, g in groups.items())
     # NULL vertices: exactly one singleton row each, component NULL
     assert null_rows == [(None, None)] * n_null_verts
-    # one output row per distinct vertex (no double emission)
-    assert len(rows) == len({v for (v,) in v_rows if v is not None}) + n_null_verts
+    # one output row per distinct mentioned non-NULL vertex (no double
+    # emission, no vanishing — incl. rescued NULL-edge endpoints)
+    assert len(rows) == sum(len(g) for g in want) + n_null_verts
 
 
 @SETTLE

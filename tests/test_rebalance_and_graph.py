@@ -156,3 +156,32 @@ def test_cc_null_ids_single_emission(spark):
         # vertex 3's only edges had NULL endpoints -> isolated singleton;
         # the NULL vertex appears ONCE, component NULL
         assert got == [(1, 1), (2, 1), (3, 3), (None, None)]
+
+
+def test_cc_null_edge_only_vertex_rescued(spark):
+    """Deterministic regression (ADVICE r13): a vertex mentioned ONLY as
+    the non-NULL endpoint of a dropped NULL-edge, and absent from the
+    vertices frame, must still label as its own singleton — the first
+    r13 fix silently dropped it from the output entirely. Vertex 2
+    (edge-only via a REAL edge) pins the pre-existing loop-labeled
+    behavior the rescue must not duplicate."""
+    from pyspark.sql import types as T
+
+    vs = spark.createDataFrame(
+        [(1,)], T.StructType([T.StructField("doc_id", T.IntegerType())])
+    )
+    es = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 3), (2, None)],
+        T.StructType(
+            [
+                T.StructField("doc_a", T.IntegerType()),
+                T.StructField("doc_b", T.IntegerType()),
+            ]
+        ),
+    )
+    for kw in ({}, {"skew_threshold": 1}):
+        labels, _ = connected_components(vs, symmetrize_edges(es), **kw)
+        got = sorted(((r.doc_id, r.component) for r in labels.collect()), key=str)
+        # 3 is rescued exactly once; 2 has a real edge so the rescue
+        # must not re-emit it alongside its loop label
+        assert got == [(1, 1), (2, 1), (3, 3)]
