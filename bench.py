@@ -94,6 +94,13 @@ CALIBRATION = [
     # therefore the cross-round total and shared_r03 ratio) is unchanged.
     "docs_tfidf_top_terms",
     "docs_bigram_freq",
+    # r14 (VERDICT r13 #4): wall-clock witnesses for the warehouse
+    # change-data family — oracle-checked since r13 but never
+    # wall-witnessed in-round. Same tiering rationale as tf-idf/bigram:
+    # calibration, so the frozen 53-query headline total stays
+    # cross-round comparable.
+    "cdc_snapshot_fold",
+    "scd2_dim_history",
 ]
 
 
@@ -106,7 +113,11 @@ N_RUNS = 5  # min-of-N; raised from 3 (VERDICT r5 #2: ±10% band, 3 too few)
 # headline queries frozen in round 5 (so 'value' and shared_r03.ratio
 # remain directly comparable to every r5-53q row) + 3 calibration
 # queries (band sweep since r4; tf-idf/bigram witnesses added r12).
-SET_VERSION = "r12-53q+3cal"
+# "r14-53q+5cal" = the same frozen 53 headline queries + 5 calibration
+# queries (cdc_snapshot_fold/scd2_dim_history witnesses added r14) —
+# headline totals and shared_r03.ratio remain comparable to every
+# r5-53q-era row.
+SET_VERSION = "r14-53q+5cal"
 
 # Pinned reference for the machine-derived round-over-round ratio
 # (VERDICT r5 #1/#2): BENCH_r03 is the last round before the cache-leak
@@ -291,9 +302,19 @@ def main() -> None:
     # makes intra-run drift attributable from the artifact alone: a slow
     # iteration with elevated steal is host noise; one without is ours.
     iter_hosts: list[dict[str, float]] = []
+    # Per-iteration host MARKS (VERDICT r13 #3): three of five r13 rows
+    # had in-run steal events that the single pre/post mark pair only
+    # brackets. Sampling the ST+MT pair immediately BEFORE each timed
+    # iteration (outside its timer, ~3 s of fixed work per sample) makes
+    # every iteration self-attributing: min-of-5 selection can be
+    # audited against the mark series — a slow iteration whose preceding
+    # MT mark is also slow is a host window, one with a quiet mark is
+    # ours. The bracketing pre/post pair stays the headline instrument.
+    iter_marks: list[dict[str, float]] = []
     stat_before = _proc_stat()
     wall_start = time.perf_counter()
     for _ in range(N_RUNS):
+        iter_marks.append({"st": _cpu_mark(), "mt": _cpu_mark_mt()})
         iter_stat0 = _proc_stat()
         iter_wall0 = time.perf_counter()
         iter_total = 0.0
@@ -364,6 +385,9 @@ def main() -> None:
         # aggregate" host windows from frequency windows (r12 showed the
         # single-thread mark alone cannot explain 32-thread wall swings)
         "cpu_mark_mt_s": [mark_mt_pre, _cpu_mark_mt()],
+        # per-iteration ST/MT mark pairs sampled just before each timed
+        # iteration (r14, VERDICT r13 #3) — see iter_marks comment
+        "cpu_marks_per_iter": iter_marks,
         "warmup_total": warmup_total,
         "total_median": round(median, 3),
         "total_spread_pct": round(100 * spread, 1),
