@@ -141,3 +141,94 @@ def test_scd2_invariants_under_random_batches(spark, seq):
         # unbroken handoff chain
         for a, b in zip(got, got[1:]):
             assert str(a.valid_to) == str(b.valid_from)
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert (r14, VERDICT r13 fuzz-program extension): the S5 keyed
+# upsert underneath ParquetMergeWriter / the streaming foreachBatch MERGE.
+# apply_cdc shares its shuffle shape but NOT its code path — and
+# merge_upsert has two contracts of its own the CDC fuzz never touches:
+# the target=None bootstrap, and order_col=None, where in-batch
+# last-write-wins falls back to monotonically_increasing_id ROW ORDER
+# (deterministic for a local-list DataFrame: partition ids and offsets
+# both follow list order). Feeds are multiplexed through the composite
+# (feed_id, k) key exactly like the CDC property, which also exercises
+# multi-column null-safe key equality.
+# ---------------------------------------------------------------------------
+
+UP_SCHEMA = T.StructType(
+    [
+        T.StructField("feed_id", T.IntegerType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+    ]
+)
+
+# one feed: (target dict or None, update rows (k, v) — seq is positional,
+# so "higher seq wins" and "later row wins" coincide and the order_col=
+# "seq" and order_col=None paths must agree with the same twin)
+up_feed = st.tuples(
+    st.one_of(st.none(), st.dictionaries(KEYS, VALS, max_size=5)),
+    st.lists(st.tuples(KEYS, VALS), max_size=10),
+)
+
+
+def _upsert_twin(target: dict | None, updates: list[tuple]) -> dict:
+    """dict-overwrite twin of db.py-style upsert: in-batch last write
+    wins per key, matched target rows replaced, unmatched kept. Values
+    are (v, seq) with seq = -1 for surviving pristine target rows."""
+    latest: dict = {}
+    for seq, (k, v) in enumerate(updates):
+        latest[k] = (v, seq)
+    out = {k: (v, -1) for k, v in (target or {}).items()}
+    out.update(latest)
+    return out
+
+
+@SETTLE
+@given(st.lists(up_feed, min_size=1, max_size=6))
+def test_merge_upsert_matches_dict_twin(spark, feeds):
+    from edu_data_pipeline_spark.operators.warehouse import merge_upsert
+
+    # Any feed with a None target exercises the bootstrap path; it is
+    # multiplexed separately (merge_upsert takes ONE optional target).
+    boot_feeds = [(i, f) for i, f in enumerate(feeds) if f[0] is None]
+    tgt_feeds = [(i, f) for i, f in enumerate(feeds) if f[0] is not None]
+
+    def run(group, target_is_none):
+        if not group:
+            return
+        tgt_rows = [
+            (i, k, v, -1)
+            for i, (tgt, _) in group
+            for k, v in (tgt or {}).items()
+        ]
+        upd_rows = [
+            (i, k, v, seq)
+            for i, (_, ups) in group
+            for seq, (k, v) in enumerate(ups)
+        ]
+        tgt_df = (
+            None
+            if target_is_none
+            else spark.createDataFrame(tgt_rows, UP_SCHEMA)
+        )
+        upd_df = spark.createDataFrame(upd_rows, UP_SCHEMA)
+        want = sorted(
+            (
+                (i, k, v, seq)
+                for i, (tgt, ups) in group
+                for k, (v, seq) in _upsert_twin(tgt, ups).items()
+            ),
+            key=str,
+        )
+        for order_col in ("seq", None):
+            out = merge_upsert(tgt_df, upd_df, ["feed_id", "k"], order_col=order_col)
+            got = sorted(
+                ((r.feed_id, r.k, r.v, r.seq) for r in out.collect()), key=str
+            )
+            assert got == want, f"order_col={order_col}"
+
+    run(tgt_feeds, target_is_none=False)
+    run(boot_feeds, target_is_none=True)
