@@ -146,7 +146,9 @@ def connected_components(
     """
     # Checkpoint lifecycle (VERDICT r7 #2): every localCheckpoint here is
     # a handle-owning tracked checkpoint. The static ones (edge list and
-    # its hot/cold split) are freed when the loop ends; each round's
+    # its hot/cold split; the edge list is instead deferred to the
+    # global registry when the NULL-edge rescue branch reads it from the
+    # returned frame) are freed when the loop ends; each round's
     # checkpoint is freed as soon as the NEXT round's is materialized
     # (eager) and the convergence count has consumed the old labels — so
     # live per-round checkpoints never exceed 2 regardless of round
@@ -164,35 +166,41 @@ def connected_components(
     # r13 graph property fuzz, the r12 NULL-key bug class). NULL vertices
     # in ``vertices`` therefore take the isolated branch exactly once,
     # as singletons with a NULL component label.
-    raw_edges = sym_edges
-    sym_edges = raw_edges.where(
-        F.col("src").isNotNull() & F.col("dst").isNotNull()
-    )
-    sym, h_sym = local_checkpoint(sym_edges)  # freeze (possibly expensive) lineage
-    static_handles = [h_sym]
+    # Checkpoint BEFORE the NULL filter: the (possibly expensive) edge
+    # lineage is materialized exactly once, and both the loop's non-NULL
+    # view and the dropped-edge rescue below read the frozen blocks —
+    # deriving the rescue from the caller's raw lineage instead would
+    # re-execute the whole upstream pipeline at consumption (caught by
+    # the r14 EXPLAIN regeneration: +20 document scans).
+    raw, h_raw = local_checkpoint(sym_edges)
+    sym = raw.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    static_handles = []
     verts = vertices.select(F.col(vertex_col).alias("doc_id"))
     # The dropped NULL-endpoint edges may still MENTION identified
     # vertices (ADVICE r13): a vertex whose only edges are NULL-endpoint
     # ones, and which the caller omitted from ``vertices``, must not
     # vanish — it asserts no connection, so it labels as its own
     # singleton, same as any edge-only vertex did before the NULL drop.
-    # Derived from the caller's (pre-checkpoint) lineage because the
-    # edge checkpoint is freed when the loop ends, while this branch is
-    # part of the RETURNED lazy frame; the cost is one extra filter scan
-    # of the edge lineage at consumption, matching how ``verts`` itself
-    # re-reads the caller's vertices lineage.
-    dropped = raw_edges.where(F.col("src").isNull() | F.col("dst").isNull())
-    rescued = (
-        dropped.select(F.col("src").alias("doc_id"))
-        .unionByName(dropped.select(F.col("dst").alias("doc_id")))
-        .where(F.col("doc_id").isNotNull())
-        .distinct()
-    )
-    # Anti-join keeps caller-supplied vertex rows authoritative (their
-    # multiplicity is preserved; rescued ids already present add nothing)
-    # and the later anti-join against the active set keeps rescued ids
-    # that ALSO have real edges out of the isolated branch.
-    verts = verts.unionByName(rescued.join(verts, "doc_id", "left_anti"))
+    # The head(1) probe is one cheap job over the checkpoint; in the
+    # common no-NULL-edge case the rescue contributes nothing and the
+    # checkpoint keeps its r13 lifecycle (freed when the loop ends).
+    dropped = raw.where(F.col("src").isNull() | F.col("dst").isNull())
+    rescue_needed = bool(dropped.head(1))
+    if rescue_needed:
+        rescued = (
+            dropped.select(F.col("src").alias("doc_id"))
+            .unionByName(dropped.select(F.col("dst").alias("doc_id")))
+            .where(F.col("doc_id").isNotNull())
+            .distinct()
+        )
+        # Anti-join keeps caller-supplied vertex rows authoritative
+        # (their multiplicity is preserved; rescued ids already present
+        # add nothing) and the later anti-join against the active set
+        # keeps rescued ids that ALSO have real edges out of the
+        # isolated branch.
+        verts = verts.unionByName(rescued.join(verts, "doc_id", "left_anti"))
+    else:
+        static_handles.append(h_raw)
     # Only edge-touching vertices can ever change labels; at corpus scale
     # the overwhelming majority of documents are in NO near-dup pair, so
     # looping over all of them would pay |V| join rows per round for
@@ -291,7 +299,8 @@ def connected_components(
         if changed == 0:
             break
     for h in static_handles:
-        h.release()  # edge list + hot split: loop-only, labels are frozen
+        h.release()  # loop-only statics (hot split; edge list unless
+        # the NULL-edge rescue needs it) — labels are frozen
     if changed != 0:
         msg = (
             f"connected_components exhausted max_rounds={max_rounds} with "
@@ -306,9 +315,13 @@ def connected_components(
     )
     if vertex_col != "doc_id":
         labels = labels.withColumnRenamed("doc_id", vertex_col)
-    # These two back the returned lazy frame — the harness's
-    # release_caches() frees them after the result is consumed.
+    # These back the returned lazy frame — the harness's
+    # release_caches() frees them after the result is consumed. The raw
+    # edge checkpoint joins them only when the rescue branch (which
+    # reads it lazily) is part of the result.
     track_checkpoint(h_active)
+    if rescue_needed:
+        track_checkpoint(h_raw)
     if live_handle is not None:
         track_checkpoint(live_handle)
     return labels, rounds
