@@ -101,7 +101,10 @@ def bucketed_running_sum(
 
     For a global rank/row_number, pass ``value=F.lit(1)``.
     """
-    clash = sorted(set(RESERVED_COLS) & set(df.columns))
+    clash = sorted(
+        (set(RESERVED_COLS) & set(df.columns))
+        | {c for c in df.columns if c.endswith("_rs_r")}
+    )
     if clash:
         raise ValueError(
             "bucketed_running_sum: input columns collide with reserved "
@@ -124,8 +127,22 @@ def bucketed_running_sum(
     offsets = totals.withColumn(
         "_rs_off", F.coalesce(F.sum("_rs_tot").over(w_off), F.lit(0))
     ).drop("_rs_tot")
+    # NULL-safe offset join (r14 fuzz find): a NULL partition key (e.g.
+    # a NULL-lang document) forms a window partition of its own in BOTH
+    # passes, but a plain equi-join here would drop every such row on
+    # the way back — the naive single-window form keeps them. <=> keys
+    # stay ordinary equi-join keys for Catalyst (SMJ/broadcast as
+    # before); join columns are suffixed, not coalesced, so they drop
+    # cleanly.
+    keys = [*part_cols, b]
+    renamed = offsets
+    for c in keys:
+        renamed = renamed.withColumnRenamed(c, c + "_rs_r")
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & F.col(c).eqNullSafe(F.col(c + "_rs_r"))
     return (
-        within.join(offsets, [*part_cols, b])
+        within.join(renamed, cond)
         .withColumn(out_col, F.col("_rs_in") + F.col("_rs_off"))
-        .drop(b, "_rs_in", "_rs_off")
+        .drop(b, "_rs_in", "_rs_off", *[c + "_rs_r" for c in keys])
     )

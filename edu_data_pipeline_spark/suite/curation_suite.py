@@ -57,6 +57,7 @@ from .scale_suite import (
     _distinct_sk_rows,
     _gram_key64,
     _sql_key64,
+    _n_tokens,
     _tokens,
     gram_rows,
     sql_kmeans_chain,
@@ -366,12 +367,15 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
+    nn = F.col("text").isNotNull()  # see _n_tokens: ansi-off size(NULL) = -1
     feats = d.select(
         "doc_id",
         "n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        F.when(nn, F.size(toks)).alias("n_tokens"),
+        F.when(nn, F.size(F.array_distinct(toks))).alias("n_unique"),
+        F.when(nn, F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))).alias(
+            "n_stop"
+        ),
     )
     nt = F.greatest(F.col("n_tokens"), F.lit(1))
     score = (
@@ -1211,9 +1215,7 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (languages with poor fertility burn budget). Integer sums + one
     rounded ratio; single hash agg."""
     d = table(spark, sf_dir, "documents")
-    per = d.select(
-        "lang", F.size(_tokens(F.col("text"))).alias("n_tokens"), "n_chars"
-    )
+    per = d.select("lang", _n_tokens(F.col("text")).alias("n_tokens"), "n_chars")
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),

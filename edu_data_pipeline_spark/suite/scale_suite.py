@@ -51,6 +51,20 @@ def _tokens(col: Column) -> Column:
     return F.split(F.trim(col), " ")
 
 
+def _n_tokens(col: Column) -> Column:
+    """NULL-safe whitespace token count (r14 fuzz find): under the
+    suite's ansi-off runtime ``size(NULL)`` is **-1**, so an unguarded
+    ``size(split(trim(text), ' '))`` hands every NULL-text document a
+    token count of -1 — which then perturbs sums, quantiles, running
+    budgets and CASE buckets — while the DuckDB oracles'
+    ``len(string_split(trim(text), ' '))`` is NULL and rides every
+    aggregate inertly. The guard restores the oracle semantics; sites
+    where -1 only feeds a ``>= k`` FILTER (funnel, dup-spans, gram
+    builders) are left unguarded on purpose — both engines drop the
+    row and the filter stays a cheap null-intolerant predicate."""
+    return F.when(col.isNotNull(), F.size(_tokens(col)))
+
+
 @register(
     "docs_text_stats",
     oracle="""
@@ -75,12 +89,17 @@ def _tokens(col: Column) -> Column:
 def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tokens = _tokens(F.col("text"))
+    nn = F.col("text").isNotNull()  # see _n_tokens: ansi-off size(NULL) = -1
     stats = d.select(
         "doc_id",
         "n_chars",
-        F.size(tokens).alias("n_tokens"),
-        F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS))).alias("n_stopwords"),
-        F.size(F.filter(tokens, lambda t: F.length(t) >= 6)).alias("n_long_tokens"),
+        F.when(nn, F.size(tokens)).alias("n_tokens"),
+        F.when(nn, F.size(F.filter(tokens, lambda t: t.isin(*STOPWORDS)))).alias(
+            "n_stopwords"
+        ),
+        F.when(nn, F.size(F.filter(tokens, lambda t: F.length(t) >= 6))).alias(
+            "n_long_tokens"
+        ),
     )
     stop_ratio = F.col("n_stopwords") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
     long_ratio = F.col("n_long_tokens") * 1.0 / F.greatest(F.col("n_tokens"), F.lit(1))
@@ -1713,9 +1732,15 @@ def multimodal_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), " "))
-    bpe = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+    nn = F.col("text").isNotNull()  # see _n_tokens: ansi-off size(NULL) = -1
+    ws = _n_tokens(F.col("text"))
+    bpe = F.when(
+        nn,
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        ),
     )
     return d.select(
         "doc_id",
@@ -2548,9 +2573,7 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile length buckets for batch packing (see section comment)."""
     d = table(spark, sf_dir, "documents")
-    wt = d.select(
-        "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens")
-    )
+    wt = d.select("doc_id", _n_tokens(F.col("text")).alias("n_tokens"))
     q = wt.agg(
         F.percentile(F.col("n_tokens").cast("double"), F.lit(0.25)).alias("q1"),
         F.percentile(F.col("n_tokens").cast("double"), F.lit(0.50)).alias("q2"),
@@ -2667,10 +2690,14 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_id = floor(start_offset / seq_len): which 2048-token training
     chunk this document starts in."""
     d = table(spark, sf_dir, "documents")
+    # NULL-text guard (r14 fuzz find, see _n_tokens): unguarded, a
+    # NULL-text doc would pack into pack 0 with a NEGATIVE (-1) token
+    # contribution; the oracle's NULL rides the running sum without
+    # perturbing it and lands in a NULL pack_id group — mirror that.
     wt = d.select(
         "doc_id",
         _hash_bucket(F.col("doc_id"), PACK_SHARDS).alias("shard"),
-        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+        _n_tokens(F.col("text")).alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
@@ -4235,9 +4262,7 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import bucketed_running_sum
 
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tokens")
-    )
+    toks = d.select("doc_id", "lang", _n_tokens(F.col("text")).alias("n_tokens"))
     # r8c: n_repeated = (n_grams - n_distinct) is pure per-doc
     # arithmetic — gram count from the token count, distinct count from
     # the map-side distinct-array size (STRING elements, so the count

@@ -33,6 +33,8 @@ MODULES = [
     "tests/test_dedup_index_properties.py",
     "tests/test_warehouse_properties.py",
     "tests/test_bpe_properties.py",
+    "tests/test_assembly_properties.py",
+    "tests/test_parity_fuzz.py",
 ]
 
 
