@@ -186,8 +186,27 @@ def _sql_dec(expr: str, exact2: bool = False) -> str:
 
 
 def sql_dround(expr: str, scale: int) -> str:
-    """DuckDB twin of :func:`dround`."""
-    return f"CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale})) AS DOUBLE)"
+    """DuckDB twin of :func:`dround`.
+
+    The half-ulp guard (r14 parity-fuzz find) works around a DuckDB
+    VARCHAR→DECIMAL quirk: for |x| < 10^-scale DuckDB's parser rounds by
+    the first SIGNIFICANT digit regardless of exponent, so e.g.
+    '7.6e-06' → DECIMAL(38,4) gives 0.0001 where the correct half-up
+    answer (and Spark's BigDecimal route) is 0.0000 — probed: 5e-06 and
+    9.9e-08 round UP while the larger 4.9e-05 rounds down. Anything
+    strictly below half an output ulp must round to zero, so snap it
+    before the string trip; NULL and the exact-boundary doubles keep the
+    ELSE path (shortest-repr tie semantics unchanged — Spark agrees
+    there). A no-op wherever the sweep was already green. The same quirk
+    exists inside the per-row DECIMAL(28,10) sum casts at |x| < 1e-10,
+    bounded at a half-ulp of scale 10 per row — invisible at the output
+    scales for any realistic row count, so left alone.
+    """
+    return (
+        f"CASE WHEN abs(({expr})) < 0.5e-{scale} THEN 0.0 "
+        f"ELSE CAST(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,{scale})) "
+        f"AS DOUBLE) END"
+    )
 
 
 def sql_dsum(expr: str, scale: int = 2, exact2: bool = False) -> str:

@@ -626,7 +626,7 @@ def customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     prev = F.lag("ts").over(w)
     # Gap compared in exact microseconds on BOTH engines (second-truncated
     # longs vs INTERVAL would split (1800, 1801)s gaps differently); the
@@ -638,7 +638,9 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
         1,
     ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    ).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = e.withColumn("is_new", is_new).withColumn(
@@ -847,7 +849,7 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     attributed = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
@@ -1070,7 +1072,12 @@ def user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks on event_id so every function is deterministic on both
     engines."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # asc_nulls_last mirrors DuckDB's ASC default (r14 parity-fuzz pin:
+    # a NULL value sorted FIRST here but LAST in the oracle, flipping
+    # first_value/lag/rank columns for the whole user partition)
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     return e.select(
         "event_id",
         "user_id",
@@ -1192,8 +1199,14 @@ def events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_json",
     oracle=f"""
     WITH extracted AS (
+      -- json_valid + TRY_CAST (r14 parity-fuzz pin): Spark's
+      -- get_json_object is graceful on malformed/empty JSON and
+      -- non-numeric k (NULL, ansi off); DuckDB's json_extract_string
+      -- ERRORS on malformed input and plain CAST errors on 'abc'
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             TRY_CAST(CASE WHEN json_valid(props)
+                           THEN json_extract_string(props, '$.k') END
+                      AS BIGINT) AS k
       FROM events
     )
     SELECT event_type,
@@ -1695,11 +1708,19 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     "events_type_unpivot",
     oracle="""
     SELECT user_id, event_type, count(*) AS n
-    FROM events GROUP BY user_id, event_type
+    FROM events
+    WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+    GROUP BY user_id, event_type
     """,
 )
 def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pivot → unpivot round trip: equals the direct sparse aggregate."""
+    """pivot → unpivot round trip: equals the direct sparse aggregate
+    over the pivot's CLOSED type vocabulary (_EVENT_TYPES). A static
+    pivot cannot represent types outside its column list — events with
+    an unknown or NULL event_type contribute to no pivot column and
+    vanish in the round trip — so the oracle filters to the same
+    vocabulary (r14 parity-fuzz pin; the IN list also drops NULLs on
+    both engines)."""
     e = table(spark, sf_dir, "events")
     wide = (
         e.groupBy("user_id")

@@ -4792,7 +4792,11 @@ PSI_ALARM = 0.2  # investigate above this (industry convention)
              {sql_dround(f"max(CASE WHEN c.half = 0 THEN c.n * 1.0 / t.n_half END)", 8)} AS p0,
              {sql_dround(f"max(CASE WHEN c.half = 1 THEN c.n * 1.0 / t.n_half END)", 8)} AS p1
       FROM counts c JOIN tot t
-        ON c.event_type = t.event_type AND c.half = t.half
+        -- null-safe on event_type (r14 parity-fuzz pin): the Spark side
+        -- computes n_half with a WINDOW, which keeps a NULL event_type
+        -- as its own partition; a plain equi-join here would drop it
+        ON c.event_type IS NOT DISTINCT FROM t.event_type
+           AND c.half = t.half
       GROUP BY c.event_type, c.bucket
     ), terms AS (
       SELECT event_type,
@@ -5181,7 +5185,10 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("half") == 0, 1)).alias("n0"),
         F.count(F.when(F.col("half") == 1, 1)).alias("n1"),
     )
-    w = Window.partitionBy("event_type").orderBy("value")
+    # asc_nulls_last mirrors DuckDB's ASC default (r14 parity-fuzz
+    # class: NULL values must accumulate at the same end of the CDF on
+    # both engines)
+    w = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("value"))
     t = Window.partitionBy("event_type")
     cum = per_value.select(
         "event_type",
@@ -5621,7 +5628,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to user_sessions/user_funnel: funnels check one path,
     this reports every edge."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     ordered = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).where(F.col("next_type").isNotNull())

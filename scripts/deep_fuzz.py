@@ -27,21 +27,27 @@ import subprocess
 import sys
 
 ROOT = pathlib.Path(__file__).resolve().parent.parent
+# (module, deep-example cap): the oracle-parity fuzzes run EVERY
+# registered query in their family per example (12 doc / 38 events
+# compare_query round-trips), so their deep budgets are capped to keep
+# the sweep under ~45 min; None = uncapped (plain per-property twins).
 MODULES = [
-    "tests/test_properties.py",
-    "tests/test_graph_properties.py",
-    "tests/test_dedup_index_properties.py",
-    "tests/test_warehouse_properties.py",
-    "tests/test_bpe_properties.py",
-    "tests/test_assembly_properties.py",
-    "tests/test_parity_fuzz.py",
+    ("tests/test_properties.py", None),
+    ("tests/test_graph_properties.py", None),
+    ("tests/test_dedup_index_properties.py", None),
+    ("tests/test_warehouse_properties.py", None),
+    ("tests/test_bpe_properties.py", None),
+    ("tests/test_assembly_properties.py", None),
+    ("tests/test_parity_fuzz.py", 20),
+    ("tests/test_events_parity_fuzz.py", 12),
 ]
 
 
 def main() -> int:
     examples = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    paths = [m for m, _ in MODULES]
     dirty = subprocess.run(
-        ["git", "status", "--porcelain", "--", *MODULES],
+        ["git", "status", "--porcelain", "--", *paths],
         cwd=ROOT,
         capture_output=True,
         text=True,
@@ -55,23 +61,24 @@ def main() -> int:
         )
         return 2
     try:
-        for m in MODULES:
+        for m, cap in MODULES:
             p = ROOT / m
             src = p.read_text()
+            n_ex = examples if cap is None else min(examples, cap)
             bumped, n = re.subn(
-                r"max_examples=\d+,", f"max_examples={examples},", src, count=1
+                r"max_examples=\d+,", f"max_examples={n_ex},", src, count=1
             )
             if n != 1:
                 print(f"no max_examples pin found in {m}", file=sys.stderr)
                 return 2
             p.write_text(bumped)
         print(f"[deep-fuzz] running {len(MODULES)} modules at "
-              f"{examples} examples/property ...")
+              f"{examples} examples/property (capped where noted) ...")
         rc = subprocess.run(
-            [sys.executable, "-m", "pytest", *MODULES, "-q"], cwd=ROOT
+            [sys.executable, "-m", "pytest", *paths, "-q"], cwd=ROOT
         ).returncode
     finally:
-        subprocess.run(["git", "checkout", "--", *MODULES], cwd=ROOT, check=True)
+        subprocess.run(["git", "checkout", "--", *paths], cwd=ROOT, check=True)
     print(f"[deep-fuzz] {'GREEN' if rc == 0 else 'RED'} (rc={rc}); "
           "budgets restored")
     return rc
