@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 #: frame. Guarded at entry: a caller frame already carrying one of these
 #: would otherwise produce an ambiguous-column error or silently wrong
 #: sums (ADVICE r5).
-RESERVED_COLS = ("_rs_bucket", "_rs_in", "_rs_off", "_rs_tot")
+RESERVED_COLS = ("_rs_bucket", "_rs_part", "_rs_in", "_rs_off", "_rs_tot")
 
 
 def hex_prefix_width(
@@ -101,48 +101,47 @@ def bucketed_running_sum(
 
     For a global rank/row_number, pass ``value=F.lit(1)``.
     """
-    clash = sorted(
-        (set(RESERVED_COLS) & set(df.columns))
-        | {c for c in df.columns if c.endswith("_rs_r")}
-    )
+    clash = sorted(set(RESERVED_COLS) & set(df.columns))
     if clash:
         raise ValueError(
             "bucketed_running_sum: input columns collide with reserved "
             f"internal names {clash}; rename them before calling"
         )
     b = "_rs_bucket"
-    tagged = df.withColumn(b, bucket)
+    part = "_rs_part"
+    # NULL-safe partition key (r14 fuzz find): a NULL part_col value
+    # (e.g. a NULL-lang document) forms a window partition of its own in
+    # both passes, but the offset join used to be a plain equi-join on
+    # the raw columns and dropped every such row on the way back — the
+    # naive single-window form keeps them. Fusing part_cols into ONE
+    # STRUCT key fixes it without costing partitioning reuse: a struct
+    # is never NULL at the top level, struct equality compares NULL
+    # fields as equal (probed — the NULL-lang row survives a struct-key
+    # join), and both window exchanges and the join hash the same
+    # (part, bucket) pair, so Catalyst reuses the big side's exchange.
+    # The eqNullSafe spelling kept the rows but re-keyed the SMJ on
+    # coalesce/isnull pairs, forcing a second full-row shuffle of the
+    # document side.
+    tagged = df.withColumn(b, bucket).withColumn(
+        part, F.struct(*part_cols) if part_cols else F.lit(0)
+    )
     w_in = (
-        Window.partitionBy(*part_cols, b)
+        Window.partitionBy(part, b)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = tagged.withColumn("_rs_in", F.sum(value).over(w_in))
-    totals = tagged.groupBy(*part_cols, b).agg(F.sum(value).alias("_rs_tot"))
+    totals = tagged.groupBy(part, b).agg(F.sum(value).alias("_rs_tot"))
     w_off = (
-        Window.partitionBy(*part_cols)
+        Window.partitionBy(part)
         .orderBy(b)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn(
         "_rs_off", F.coalesce(F.sum("_rs_tot").over(w_off), F.lit(0))
     ).drop("_rs_tot")
-    # NULL-safe offset join (r14 fuzz find): a NULL partition key (e.g.
-    # a NULL-lang document) forms a window partition of its own in BOTH
-    # passes, but a plain equi-join here would drop every such row on
-    # the way back — the naive single-window form keeps them. <=> keys
-    # stay ordinary equi-join keys for Catalyst (SMJ/broadcast as
-    # before); join columns are suffixed, not coalesced, so they drop
-    # cleanly.
-    keys = [*part_cols, b]
-    renamed = offsets
-    for c in keys:
-        renamed = renamed.withColumnRenamed(c, c + "_rs_r")
-    cond = F.lit(True)
-    for c in keys:
-        cond = cond & F.col(c).eqNullSafe(F.col(c + "_rs_r"))
     return (
-        within.join(renamed, cond)
+        within.join(offsets, [part, b])
         .withColumn(out_col, F.col("_rs_in") + F.col("_rs_off"))
-        .drop(b, "_rs_in", "_rs_off", *[c + "_rs_r" for c in keys])
+        .drop(b, part, "_rs_in", "_rs_off")
     )

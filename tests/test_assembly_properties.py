@@ -42,7 +42,7 @@ from hypothesis import strategies as st
 from edu_data_pipeline_spark.suite import load_all
 
 SETTLE = settings(
-    max_examples=6,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

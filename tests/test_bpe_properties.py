@@ -47,7 +47,7 @@ from edu_data_pipeline_spark.operators.bpe import (
 )
 
 SETTLE = settings(
-    max_examples=6,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

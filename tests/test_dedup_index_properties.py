@@ -30,7 +30,7 @@ from edu_data_pipeline_spark.operators import dedup_index
 from edu_data_pipeline_spark.operators.dedup_index import _bands
 
 SETTLE = settings(
-    max_examples=6,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

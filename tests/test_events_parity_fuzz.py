@@ -52,7 +52,7 @@ from edu_data_pipeline_spark.parity import compare_query
 from edu_data_pipeline_spark.suite import load_all
 
 SETTLE = settings(
-    max_examples=3,
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -32,7 +32,7 @@ from edu_data_pipeline_spark.operators.graph import (
 )
 
 SETTLE = settings(
-    max_examples=8,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

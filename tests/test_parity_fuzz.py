@@ -35,7 +35,7 @@ from edu_data_pipeline_spark.parity import compare_query
 from edu_data_pipeline_spark.suite import load_all
 
 SETTLE = settings(
-    max_examples=5,
+    max_examples=20,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

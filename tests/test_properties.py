@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from edu_data_pipeline_spark.functions import rules
 
 SETTLE = settings(
-    max_examples=12,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -29,7 +29,7 @@ from edu_data_pipeline_spark.operators.cdc import apply_cdc
 from edu_data_pipeline_spark.operators.warehouse import scd2_apply
 
 SETTLE = settings(
-    max_examples=10,
+    max_examples=40,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
