@@ -26,6 +26,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Per-session logical-plan cache (r14 optimization). Building a reader
+# costs a parquet footer read plus ~90 ms of driver/py4j work per call
+# (measured: DataFrameReader.parquet at 0.089 s/call under cProfile),
+# and the suite calls table() 1-4x per query x 53 queries per bench
+# iteration. The cache holds the ANALYZED DataFrame (a plan, never
+# data): every action on it still scans the parquet fresh, so bench and
+# oracle runs keep computing from the inputs — this is the same
+# metadata reuse a catalog table / registered temp view gives, applied
+# to the path-based reader. Keyed by applicationId so a stopped/new
+# SparkContext never serves a stale session's plan.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing events.ts to TIMESTAMP (LTZ).
@@ -35,6 +47,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     just by convention via get_spark/ensure_session_confs) because table()
     is also called directly by scripts and tests (ADVICE r2).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if name == "events":
+        # the NTZ->LTZ normalization is tz-dependent; key the cached plan
+        # on the session zone so a tz change can never serve a stale cast
+        key = (*key, spark.conf.get("spark.sql.session.timeZone"))
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts has shipped as TIMESTAMP(NANOS) (arriving as a long under
     # spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS) with
@@ -61,6 +81,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # via spark.sql.timestampType and would no-op if a session set
             # that conf to TIMESTAMP_NTZ (ADVICE r2)
             df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    _PLAN_CACHE[key] = df
     return df
 
 

@@ -342,18 +342,20 @@ def gram_rows(
     Duplicates are kept: MinHash minima are set-invariant; set consumers
     call ``.distinct()`` (one hash shuffle, O(n log n)).
     """
-    toks = d.select(
-        "doc_id", *carry, _tokens(F.col("text")).alias("toks")
-    ).where(F.size("toks") >= k)
-    return toks.select(
+    # SQL-string spelling of the identical plan (r14 build-cost cut, see
+    # _halves_from_shingle_rows): split(trim(text), ' ') == _tokens.
+    toks = d.selectExpr(
+        "doc_id", *carry, "split(trim(text), ' ') AS toks"
+    ).where(F.expr(f"size(toks) >= {k}"))
+    return toks.selectExpr(
         "doc_id",
         *carry,
-        F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+        f"explode(sequence(1, size(toks) - {k - 1})) AS i",
         "toks",
-    ).select(
+    ).selectExpr(
         "doc_id",
         *carry,
-        F.array_join(F.slice(F.col("toks"), F.col("i"), k), " ").alias(out),
+        f"array_join(slice(toks, i, {k}), ' ') AS {out}",
     )
 
 
@@ -367,6 +369,14 @@ _SQL_GRAM_KEY64 = _sql_key64("g")
 
 def _gram_key64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _gram_key64_sql(expr: str) -> str:
+    """Spark-SQL-string twin of :func:`_gram_key64` (r14 build-cost cut:
+    SQL-string elem callbacks for the array builders; resolves to the
+    identical analyzed expression). Not the DuckDB spelling — that is
+    :func:`_sql_key64`."""
+    return f"cast(conv(substring(md5({expr}), 1, 15), 16, 10) as bigint)"
 
 
 def _shingle_rows(d: DataFrame) -> DataFrame:
@@ -383,8 +393,10 @@ def _doc_distinct_gram_arrays(
     d: DataFrame, elem, carry: tuple[str, ...] = (), k: int = 3
 ) -> DataFrame:
     """(doc_id, arr) — each document's word-3-grams mapped through
-    ``elem`` (a gram-string Column -> element Column function), SORTED
-    and DEDUPED, built entirely MAP-SIDE (r8c).
+    ``elem`` (a gram-SQL-string -> element-SQL-string function; r14 —
+    the Column-callback form cost ~145 ms of py4j round trips per plan
+    build; ``elem`` must not introduce a lambda variable named ``i``),
+    SORTED and DEDUPED, built entirely MAP-SIDE (r8c).
 
     Why this exists: a document's grams are generated from its own row,
     so per-doc dedup needs no exchange at all — but the DataFrame
@@ -404,33 +416,20 @@ def _doc_distinct_gram_arrays(
     of a gram-volume count_distinct), docs_decontamination-family
     screens (rows are already per-doc distinct; no exchange before the
     broadcast probe)."""
-    toks = d.select(
-        "doc_id", *carry, F.explode(F.array(_tokens(F.col("text")))).alias("toks")
-    ).where(F.size("toks") >= k)
-    built = toks.select(
+    toks = d.selectExpr(
+        "doc_id", *carry, "explode(array(split(trim(text), ' '))) AS toks"
+    ).where(F.expr(f"size(toks) >= {k}"))
+    gram = elem(f"array_join(slice(toks, i, {k}), ' ')")
+    built = toks.selectExpr(
         "doc_id",
         *carry,
-        F.explode(
-            F.array(
-                F.array_sort(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                        lambda i: elem(
-                            F.array_join(F.slice(F.col("toks"), i, k), " ")
-                        ),
-                    )
-                )
-            )
-        ).alias("arr"),
+        "explode(array(array_sort(transform("
+        f"sequence(1, size(toks) - {k - 1}), i -> {gram})))) AS arr",
     )
-    return built.select(
+    return built.selectExpr(
         "doc_id",
         *carry,
-        F.filter(
-            F.col("arr"),
-            lambda x, i: (i == F.lit(0))
-            | (x != F.element_at(F.col("arr"), i)),
-        ).alias("arr"),
+        "filter(arr, (x, i) -> i = 0 OR x != element_at(arr, i)) AS arr",
     )
 
 
@@ -443,61 +442,46 @@ def _doc_elem_counts(
     that need term/gram frequencies rather than just the distinct set
     (TF-IDF tf, bigram corpus counts).
 
-    ``build`` maps the BOUND token-array Column to the (unsorted)
-    element array — bound first behind a Generate barrier so Catalyst's
-    projection collapse can never re-inline the split per element (the
-    gram_rows trap). The element array is then sorted behind its own
-    barrier and run-length encoded: run starts are an adjacent-
-    inequality filter over positions, run lengths are positional
-    differences to the next start. O(g log g) CPU per document, ZERO
-    exchange — the per-(doc, elem) hash aggregate the naive explode+
-    groupBy shape pays is gone, and downstream corpus-level aggregates
-    (df, Σtf) see per-doc-distinct rows, so they are plain counts/sums
-    with map-side partials (a vocabulary-bounded exchange).
+    ``build`` maps the BOUND token-array (as a SQL string; r14 — the
+    Column-callback form cost ~207 ms of py4j round trips per plan
+    build; ``build`` may use its own lambda variables, the enclosing
+    expressions introduce ``i``/``s``/``e``/``x`` only in disjoint
+    scopes) to the (unsorted) element array — bound first behind a
+    Generate barrier so Catalyst's projection collapse can never
+    re-inline the split per element (the gram_rows trap). The element
+    array is then sorted behind its own barrier and run-length encoded:
+    run starts are an adjacent-inequality filter over positions, run
+    lengths are positional differences to the next start. O(g log g)
+    CPU per document, ZERO exchange — the per-(doc, elem) hash
+    aggregate the naive explode+groupBy shape pays is gone, and
+    downstream corpus-level aggregates (df, Σtf) see per-doc-distinct
+    rows, so they are plain counts/sums with map-side partials (a
+    vocabulary-bounded exchange).
 
     ``min_toks`` guards builders that need a minimum token count (k-gram
     builders produce an EMPTY array below k tokens, and
     sequence(0, -1) would descend, not return empty)."""
-    toks = d.select(
+    toks = d.selectExpr(
+        "doc_id", "explode(array(split(trim(text), ' '))) AS _dtoks"
+    ).where(F.expr(f"_dtoks IS NOT NULL AND size(_dtoks) >= {min_toks}"))
+    arrs = toks.selectExpr(
         "doc_id",
-        F.explode(F.array(_tokens(F.col("text")))).alias("_dtoks"),
-    ).where(F.col("_dtoks").isNotNull() & (F.size("_dtoks") >= min_toks))
-    arrs = toks.select(
-        "doc_id",
-        F.explode(F.array(F.array_sort(build(F.col("_dtoks"))))).alias("_arr"),
+        f"explode(array(array_sort({build('_dtoks')}))) AS _arr",
     )
-    runs = arrs.select(
+    runs = arrs.selectExpr(
         "doc_id",
         "_arr",
-        F.explode(
-            F.array(
-                F.filter(
-                    F.sequence(F.lit(0), F.size("_arr") - 1),
-                    lambda i: (i == F.lit(0))
-                    | (
-                        F.element_at(F.col("_arr"), i + 1)
-                        != F.element_at(F.col("_arr"), i)
-                    ),
-                )
-            )
-        ).alias("_starts"),
+        "explode(array(filter(sequence(0, size(_arr) - 1), "
+        "i -> i = 0 OR element_at(_arr, i + 1) != element_at(_arr, i)"
+        "))) AS _starts",
     )
-    return runs.select(
+    return runs.selectExpr(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.col("_starts"),
-                F.concat(
-                    F.slice(F.col("_starts"), 2, F.size("_starts") - 1),
-                    F.array(F.size("_arr")),
-                ),
-                lambda s, e: F.struct(
-                    F.element_at(F.col("_arr"), s + 1).alias("elem"),
-                    (e - s).cast("long").alias("cnt"),
-                ),
-            )
-        ).alias("_p"),
-    ).select("doc_id", F.col("_p.elem").alias(out), F.col("_p.cnt").alias("cnt"))
+        "explode(zip_with(_starts, "
+        "concat(slice(_starts, 2, size(_starts) - 1), array(size(_arr))), "
+        "(s, e) -> struct(element_at(_arr, s + 1) AS elem, "
+        "cast(e - s AS bigint) AS cnt))) AS _p",
+    ).selectExpr("doc_id", f"_p.elem AS {out}", "_p.cnt AS cnt")
 
 
 def _distinct_sk_rows(
@@ -508,7 +492,7 @@ def _distinct_sk_rows(
     arrays. Drop-in replacement for the gram_rows(...).distinct() shape
     wherever distinctness is only needed per document — which is every
     (doc_id, sk)-grained consumer, since the pair is the grain."""
-    return _doc_distinct_gram_arrays(d, _gram_key64, carry=carry, k=k).select(
+    return _doc_distinct_gram_arrays(d, _gram_key64_sql, carry=carry, k=k).select(
         "doc_id", *carry, F.explode("arr").alias("sk")
     )
 
@@ -532,7 +516,7 @@ def _doc_fp_sets(d: DataFrame) -> DataFrame:
     collect_set exchange this first shipped the gram volume through is
     gone; the verify family's only exchanges are now the candidate
     joins themselves."""
-    return _doc_distinct_gram_arrays(d, _gram_key64).select(
+    return _doc_distinct_gram_arrays(d, _gram_key64_sql).select(
         "doc_id", F.col("arr").alias("sks")
     )
 
@@ -627,20 +611,26 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
 def _halves_from_shingle_rows(sh: DataFrame) -> DataFrame:
     """Map-side (doc_id, h1, h2) Carter-Wegman halves from (doc_id, s)
     shingle rows — duplicates preserved (min-agg consumers tolerate
-    them; df consumers count DISTINCT doc_id)."""
-    m = F.md5(F.col("s"))
-    return sh.select(
+    them; df consumers count DISTINCT doc_id).
+
+    r14: SQL-string projection — each F.* Column call is a py4j round
+    trip (~0.3-0.5 ms of driver wall), and the suite rebuilds these
+    plans on every invocation; one parsed string resolves to the same
+    analyzed expressions for a fraction of the build cost (helper build
+    times measured in OPTIMIZATION_r14.md)."""
+    return sh.selectExpr(
         "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h2"),
+        "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint) AS h1",
+        "cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint) AS h2",
     )
 
 
 def _sigs_from_halves(halves: DataFrame) -> DataFrame:
     """MinHash signatures from (doc_id, h1, h2) rows (dups harmless:
-    min over multiset == min over set)."""
+    min over multiset == min over set). One parsed expr per aggregate
+    (r14 build-cost cut, see _halves_from_shingle_rows)."""
     aggs = [
-        F.min(F.col("h1") + i * F.col("h2")).alias(f"sig_{i}") for i in range(N_HASHES)
+        F.expr(f"min(h1 + {i} * h2) AS sig_{i}") for i in range(N_HASHES)
     ]
     return halves.groupBy("doc_id").agg(*aggs)
 
@@ -866,7 +856,7 @@ def _pair_shingle_keys(d: DataFrame) -> DataFrame:
     (_doc_distinct_gram_arrays) — already globally distinct on
     (doc_id, sk), so df is a vocabulary-bounded count(*) and the
     trailing .distinct() exchange is gone."""
-    rows = _doc_distinct_gram_arrays(d, _gram_key64).select(
+    rows = _doc_distinct_gram_arrays(d, _gram_key64_sql).select(
         "doc_id", F.explode("arr").alias("sk")
     )
     kdf = rows.groupBy("sk").agg(F.count(F.lit(1)).alias("df_docs"))
@@ -3045,9 +3035,9 @@ def docs_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     counts = _doc_elem_counts(
         d,
-        lambda t: F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        lambda t: (
+            f"transform(sequence(1, size({t}) - 1), "
+            f"bi -> array_join(slice({t}, bi, 2), ' '))"
         ),
         out="bigram",
         min_toks=2,

@@ -65,9 +65,9 @@ def test_token_counts_match_python_counter(spark):
 
 def test_bigram_counts_match_explode_groupby(spark):
     d = _docs(spark, CRAFTED)
-    build = lambda t: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.array_join(F.slice(t, i, 2), " "),
+    build = lambda t: (  # noqa: E731
+        f"transform(sequence(1, size({t}) - 1), "
+        f"bi -> array_join(slice({t}, bi, 2), ' '))"
     )
     got = {
         (r["doc_id"], r["bigram"]): r["cnt"]
@@ -87,9 +87,9 @@ def test_min_toks_filters_short_docs(spark):
     d = _docs(spark, ["only", "two words"])
     rows = _doc_elem_counts(
         d,
-        lambda t: F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        lambda t: (
+            f"transform(sequence(1, size({t}) - 1), "
+            f"bi -> array_join(slice({t}, bi, 2), ' '))"
         ),
         out="bigram",
         min_toks=2,

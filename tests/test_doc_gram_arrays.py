@@ -21,6 +21,7 @@ from edu_data_pipeline_spark.suite.scale_suite import (
     CDC_MODULUS,
     _doc_distinct_gram_arrays,
     _gram_key64,
+    _gram_key64_sql,
     _sk_from_halves,
     _tokens,
     gram_rows,
@@ -68,7 +69,7 @@ def test_array_builder_matches_collect_set_fingerprints(spark):
     for k in (3, 8):
         via_arrays = {
             r["doc_id"]: sorted(r["arr"])
-            for r in _doc_distinct_gram_arrays(d, _gram_key64, k=k).collect()
+            for r in _doc_distinct_gram_arrays(d, _gram_key64_sql, k=k).collect()
         }
         via_set = {
             r["doc_id"]: sorted(r["sks"])
@@ -205,7 +206,7 @@ def test_fuzz_array_builder_and_cdc_against_references(spark):
 
     via_sk = {
         r["doc_id"]: sorted(r["arr"])
-        for r in _doc_distinct_gram_arrays(d, _gram_key64, k=8).collect()
+        for r in _doc_distinct_gram_arrays(d, _gram_key64_sql, k=8).collect()
     }
     via_set = {
         r["doc_id"]: sorted(r["sks"])
