@@ -369,13 +369,25 @@ CITY_CORRECTIONS = {"Mumabi": "Mumbai", "Banglore": "Bangalore", "Pune": "Pune"}
 
 
 def normalize_city(col: Column | str) -> Column:
-    """Trim/collapse/titlecase + hardcoded corrections (pre-fuzzy step)."""
+    """Trim/collapse/titlecase + hardcoded corrections (pre-fuzzy step).
+
+    r14: one map lookup instead of a folded when-chain. The chain
+    referenced the normalized-city subexpression once per branch per
+    nesting level, and after Catalyst's projection collapse the
+    initcap(regexp_replace(regexp_replace(...))) tree appeared NINE
+    times in clean_cities' physical plan (every appearance re-executed
+    per row, and the bloated tree slowed analysis and codegen).
+    ``element_at(map, city)`` evaluates the city expression once;
+    coalesce keeps the identical semantics — a NULL city stays NULL
+    (element_at on a NULL key is NULL, coalesce passes the NULL
+    through), an unmatched city passes through, a matched one maps
+    (including the reference's identity entry Pune->Pune)."""
     raw = _s(col)
     city = F.initcap(F.regexp_replace(_strip(raw), "\\s+", " "))
-    corrected = city
-    for wrong, right in CITY_CORRECTIONS.items():
-        corrected = F.when(corrected == wrong, right).otherwise(corrected)
-    return corrected
+    corrections = F.create_map(
+        *[F.lit(x) for kv in CITY_CORRECTIONS.items() for x in kv]
+    )
+    return F.coalesce(F.element_at(corrections, city), city)
 
 
 def clean_state(col: Column | str) -> RuleColumns:

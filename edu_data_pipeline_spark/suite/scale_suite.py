@@ -5704,14 +5704,19 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # n_edges = Σdeg / 2 exactly (every edge contributes one degree to
+    # each endpoint), so it rides the SAME aggregate as vertices/wedges
+    # — the separate count pass over edges and its crossJoin job are
+    # gone (r14; one fewer consumer of the persisted edge list). `div`
+    # keeps it integer-exact at any scale.
     agg = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        # coalesce: empty edge set must stay 0 (the count(*) it replaces)
+        F.expr("coalesce(sum(d) div 2, 0L)").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
     )
-    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return (
-        agg.crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(tri))
+        agg.crossJoin(F.broadcast(tri))
         .select(
             "n_vertices",
             "n_edges",
