@@ -265,7 +265,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding surface); rule follows the public SemDeDup recipe.
     """
     from ..sources.testdata import metadata_row_count
-    from .scale_suite import _dot, kmeans_assignments
+    from .scale_suite import _dot_sql, kmeans_assignments
 
     n = metadata_row_count(sf_dir, "embeddings")
     k = min(
@@ -289,12 +289,13 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms precomputed ONCE per vector instead of per candidate pair:
     # sqrt(dot(v, v)) is the same double either way (identical fold), so
     # the oracle is unchanged, but the verify stage drops two of its
-    # three per-pair array folds.
-    e = e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
-    ea, eb = e.alias("ea"), e.alias("eb")
-    cos = _dot(F.col("ea.emb"), F.col("eb.emb")) / (
-        F.col("ea.nrm") * F.col("eb.nrm")
+    # three per-pair array folds. SQL-string spelling per _dot_sql (r14
+    # build-cost cut).
+    e = e.selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_sql('emb', 'emb')}) AS nrm"
     )
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cos = F.expr(f"{_dot_sql('ea.emb', 'eb.emb')} / (ea.nrm * eb.nrm)")
     close = (
         cand.join(ea, F.col("vec_a") == F.col("ea.vec_id"))
         .join(eb, F.col("vec_b") == F.col("eb.vec_id"))
