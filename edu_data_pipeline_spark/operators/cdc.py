@@ -38,26 +38,46 @@ def apply_cdc(
     ``order_col`` (change sequence — LSN, offset, or timestamp).
     ``snapshot`` may be None (initial load from a feed that starts with
     inserts)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    # MATERIALIZED struct partition/join key (r14, the
+    # bucketed_running_sum precedent): the dedup window and the snapshot
+    # anti-join cluster on the same logical key, but an eqNullSafe join
+    # re-keys the SMJ on coalesce/isnull pairs that never match the
+    # window exchange's hashpartitioning — the change feed shuffled
+    # TWICE on the forced-SMJ (production) path. A struct of the key
+    # columns is never NULL at the top level and struct equality
+    # compares NULL fields as equal (probed in-tree), so it is exactly
+    # as null-safe as the <=> conjunction it replaces; materializing it
+    # as a named column and name-joining on it (rather than joining on
+    # a fresh struct expression) is what lets EnsureRequirements see
+    # both sides hash the SAME attribute and skip the re-shuffle
+    # (plan evidence: plans/r14/cdc_snapshot_fold_*).
+    kc = "_cdc_k"
+    if kc in changes.columns or (snapshot is not None and kc in snapshot.columns):
+        raise ValueError(
+            f"apply_cdc: input columns collide with reserved internal "
+            f"name {kc!r}; rename before calling"
+        )
+    tagged = changes.withColumn(kc, F.struct(*keys))
+    w = Window.partitionBy(kc).orderBy(F.desc(order_col))
     latest = (
-        changes.withColumn("_rn", F.row_number().over(w))
+        tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    survivors = latest.where(F.col(OP_COL) != "D").drop(OP_COL, order_col)
+    survivors = latest.where(F.col(OP_COL) != "D").drop(OP_COL, order_col, kc)
     if snapshot is None:
         return survivors
-    touched = latest.select(*keys)
-    # Null-safe anti-join (<=>), matching merge_upsert: with plain
-    # name-equality a NULL key never matches, so a NULL-key update
-    # DUPLICATED the row (old snapshot row survived the anti-join AND
-    # the survivor was unioned in) and a NULL-key delete was silently
-    # ignored — the same degenerate NULL-key upsert documented and fixed
-    # for merge_upsert (SURVEY §7 hard-part 6), found here by the r12
-    # randomized warehouse properties.
-    cond = None
-    for k in keys:
-        clause = snapshot[k].eqNullSafe(touched[k])
-        cond = clause if cond is None else (cond & clause)
-    untouched = snapshot.join(touched, on=cond, how="left_anti")
+    touched = latest.select(kc)
+    # Null-safe anti-join via the materialized struct key, matching
+    # merge_upsert: with plain per-column name-equality a NULL key never
+    # matches, so a NULL-key update DUPLICATED the row (old snapshot row
+    # survived the anti-join AND the survivor was unioned in) and a
+    # NULL-key delete was silently ignored — the degenerate NULL-key
+    # upsert documented and fixed for merge_upsert (SURVEY §7 hard-part
+    # 6), found here by the r12 randomized warehouse properties.
+    untouched = (
+        snapshot.withColumn(kc, F.struct(*keys))
+        .join(touched, on=[kc], how="left_anti")
+        .drop(kc)
+    )
     return untouched.unionByName(survivors)

@@ -103,21 +103,39 @@ def merge_upsert(
     documented fix for the reference's degenerate NULL-key upsert
     (SURVEY §7 hard-part 6).
     """
-    w = Window.partitionBy(*keys).orderBy(
+    # MATERIALIZED struct partition/join key (r14, the
+    # bucketed_running_sum precedent; see apply_cdc for the full
+    # rationale): identical null-safety to the <=> conjunction — a
+    # struct is never NULL at the top level and struct equality
+    # compares NULL fields as equal — and because both sides carry the
+    # key as the SAME named column, the dedup window's exchange and the
+    # anti-join hash one attribute and the updates side is not
+    # re-shuffled on coalesce/isnull pairs. The row-order path is
+    # unaffected: monotonically_increasing_id is projected below the
+    # window exchange, so each row's id (and therefore the per-key
+    # winner) is fixed before any partitioning decision.
+    kc = "_mu_k"
+    if kc in updates.columns or (target is not None and kc in target.columns):
+        raise ValueError(
+            f"merge_upsert: input columns collide with reserved internal "
+            f"name {kc!r}; rename before calling"
+        )
+    w = Window.partitionBy(kc).orderBy(
         F.desc(order_col) if order_col else F.monotonically_increasing_id().desc()
     )
     deduped = (
-        updates.withColumn("__rn", F.row_number().over(w))
+        updates.withColumn(kc, F.struct(*keys))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
     if target is None:
-        return deduped
-    cond = None
-    for k in keys:
-        clause = target[k].eqNullSafe(deduped[k])
-        cond = clause if cond is None else (cond & clause)
-    kept = target.join(deduped, on=cond, how="left_anti")
+        return deduped.drop(kc)
+    kept = (
+        target.withColumn(kc, F.struct(*keys))
+        .join(deduped.select(kc), on=[kc], how="left_anti")
+        .drop(kc)
+    )
     return kept.unionByName(deduped.select(*target.columns))
 
 
