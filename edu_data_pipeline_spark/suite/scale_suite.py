@@ -3467,6 +3467,52 @@ def _dup_gram_prefilter(
     return out
 
 
+def _dup_span_garr(d: DataFrame, k: int) -> DataFrame:
+    """(doc_id, garr) — each document's per-POSITION 60-bit gram
+    fingerprints as ONE order-preserving array row (r15, VERDICT r14
+    #3 / guide §6+§8: gram+md5 the corpus ONCE per query, not once per
+    leg).
+
+    Both dup-span queries previously ran the tokenize+gram+md5 pipeline
+    twice over the documents table — once for the instance stream and
+    once (via _distinct_sk_rows) for the document-frequency side — plus
+    a third scan for the per-doc gram count. This frame is the single
+    shared source: callers persist_tracked() it and derive all three
+    legs map-side (posexplode -> instances; array_sort + adjacent-
+    inequality dedup -> per-doc-distinct df rows; size(garr) -> gram
+    count). The persisted row is 8 B per token position — smaller than
+    the document text it replaces — so the cache footprint is bounded
+    by the input the legs would otherwise each re-scan; at 100 TB this
+    is the guide §8 'fingerprint once, decide on the proxy' split.
+
+    Barriers: explode(array(...)) binds the token array before the
+    transform so projection collapse can never re-inline the split per
+    element (the gram_rows trap, see _doc_distinct_gram_arrays)."""
+    toks = d.selectExpr(
+        "doc_id", "explode(array(split(trim(text), ' '))) AS toks"
+    ).where(F.expr(f"size(toks) >= {k}"))
+    gram = _gram_key64_sql(f"array_join(slice(toks, i, {k}), ' ')")
+    return toks.selectExpr(
+        "doc_id",
+        "explode(array(transform("
+        f"sequence(1, size(toks) - {k - 1}), i -> {gram}))) AS garr",
+    )
+
+
+def _dup_span_distinct_sk(ga: DataFrame) -> DataFrame:
+    """Per-doc-distinct (sk) rows from the shared garr frame — the df
+    side's currency, derived map-side from the cached arrays (sort +
+    adjacent-inequality dedup; no md5, no exchange). The explode(array())
+    barrier binds the sorted array once so the filter's element_at reads
+    a bound attribute."""
+    return ga.selectExpr(
+        "doc_id", "explode(array(array_sort(garr))) AS sarr"
+    ).selectExpr(
+        "explode(filter(sarr, (x, i) -> i = 0 OR x != element_at(sarr, i)))"
+        " AS sk"
+    )
+
+
 def _dup_span_sides(
     sf_dir: str, grams: DataFrame, gdf: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -3545,14 +3591,16 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     less shuffle, oracle applies the identical transform).
     """
     d = table(spark, sf_dir, "documents")
-    grams = gram_rows(d, DUP_SPAN_K, out="g").select(
-        "doc_id", _gram_key64(F.col("g")).alias("gk")
-    )
+    # r15 (VERDICT r14 #3): ONE gram+md5 pass over the corpus, persisted
+    # as 8 B/position arrays; all three legs below derive from it
+    # map-side (previously: two full gram pipelines + a third doc scan).
+    ga = persist_tracked(_dup_span_garr(d, DUP_SPAN_K))
+    grams = ga.select("doc_id", F.explode("garr").alias("gk"))
     # r8c: df from the zero-shuffle per-doc-distinct rows — a plain
     # count(*) with map-side partials (vocabulary-bounded exchange)
     # instead of count_distinct's gram-volume dedup exchange
     gdf = (
-        _distinct_sk_rows(d, k=DUP_SPAN_K)
+        _dup_span_distinct_sk(ga)
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -3560,10 +3608,9 @@ def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # below it — gate, sizing, and the dup_keys cache live in ONE
     # helper shared with docs_dup_span_ranges (_dup_span_sides)
     left, dup_keys = _dup_span_sides(sf_dir, grams, gdf)
-    # n_grams is arithmetic on the token count — no gram rows shuffled
-    n_grams = d.select(
-        "doc_id", (F.size(_tokens(F.col("text"))) - (DUP_SPAN_K - 1)).alias("n_grams")
-    ).where(F.col("n_grams") >= 1)
+    # n_grams = size(garr) — identical to size(tokens) - (K-1) on the
+    # >= K-token docs the garr frame keeps; no gram rows shuffled
+    n_grams = ga.select("doc_id", F.size("garr").alias("n_grams"))
     dup_counts = (
         left.join(dup_keys, "gk", "semi")
         .groupBy("doc_id")
@@ -3647,27 +3694,20 @@ def docs_dup_span_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 fingerprints (see _SQL_GRAM_KEY64).
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks")).where(
-        F.size("toks") >= DUP_SPAN_K
-    )
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("toks") - (DUP_SPAN_K - 1))
-        ).alias("i"),
-        "toks",
-    ).select(
-        "doc_id",
-        F.col("i").cast("long").alias("pos"),
-        _gram_key64(
-            F.array_join(F.slice(F.col("toks"), F.col("i"), DUP_SPAN_K), " ")
-        ).alias("gk"),
-    )
+    # r15 (VERDICT r14 #3): ONE gram+md5 pass over the corpus, persisted
+    # as 8 B/position arrays shared by the instance and df legs
+    # (previously two full gram pipelines over the documents table).
+    # posexplode is 0-based; pos = i0 + 1 matches the old 1-based
+    # sequence explode exactly.
+    ga = persist_tracked(_dup_span_garr(d, DUP_SPAN_K))
+    grams = ga.select(
+        "doc_id", F.posexplode("garr").alias("i0", "gk")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("pos"), "gk")
     # r8c: df from the zero-shuffle per-doc-distinct rows (vocabulary-
     # bounded count); only DUPLICATED gram positions reach the semi-join
     # exchange, whose right side reuses the df agg's partitioning
     gdf = (
-        _distinct_sk_rows(d, k=DUP_SPAN_K)
+        _dup_span_distinct_sk(ga)
         .groupBy("sk")
         .agg(F.count(F.lit(1)).alias("df"))
     )

@@ -1,11 +1,13 @@
-"""Dump .explain('formatted') for named suite queries to plans/r14/.
+"""Dump .explain('formatted') for named suite queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> name [name ...]
-Writes plans/r14/<name>_<suffix>.txt  (suffix: before|after)
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<suffix>.txt (suffix:
+before|after; round defaults to r15).
 """
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 
@@ -18,7 +20,8 @@ from edu_data_pipeline_spark.suite import load_all
 def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / "r14"
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    out_dir = pathlib.Path(__file__).resolve().parent.parent / "plans" / rnd
     out_dir.mkdir(parents=True, exist_ok=True)
     registry = load_all()
     spark = get_spark(app_name="dump-plans")
