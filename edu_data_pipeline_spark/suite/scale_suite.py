@@ -656,7 +656,18 @@ def band_rows(sigs: DataFrame) -> DataFrame:
 def _band_pairs(sigs: DataFrame) -> DataFrame:
     """LSH banded candidate pairs from a signature DataFrame: stack the
     bands, equi-join on (band_idx, band_key) — the near-linear candidate
-    generator shared by every MinHash query."""
+    generator shared by every MinHash query.
+
+    r15 (VERDICT r14 #5): the signature frame is persist_tracked —
+    both sides of the self-join (and, via Spark's plan-equality cache
+    matching, any OTHER reference to the same signature plan in the
+    consumer) previously re-derived signatures from raw documents, so
+    the gram+md5+16-min-agg pipeline (and for the stopfiltered path the
+    whole stop-list build) ran twice per query. A signature row is
+    doc_id + 16 longs (~136 B/doc, the guide §8 lightweight proxy), so
+    the cache is corpus-count-, not corpus-size-, bounded; the same
+    trade minhash_band_sweep has always made for its 3 bandings."""
+    sigs = persist_tracked(sigs)
     bands = band_rows(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1422,10 +1433,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole), then an exact hamming verify via bit_count(xor) — the
     standard web-scale near-dup pipeline, expressed as two shuffles. The
     full word set rides along through the band join so the verify needs no
-    second join back to the fingerprints (and the plan carries the
-    fingerprint subtree twice, not four times — driver-side analysis of
-    the wide SimHash aggregate is the fixed cost here)."""
-    words = _simhash_words(spark, sf_dir)
+    second join back to the fingerprints. r15 (VERDICT r14 #6): the word
+    frame is persist_tracked so the per-token hash + 64-bit-sum pipeline
+    runs ONCE — both join sides previously re-derived it from raw
+    documents; a word row is doc_id + 4 longs (~40 B/doc), the guide §8
+    lightweight proxy."""
+    words = persist_tracked(_simhash_words(spark, sf_dir))
     stack_args = ", ".join(f"{j}, w_{j}" for j in range(SIMHASH_WORDS))
     bands = words.selectExpr(
         "doc_id",
