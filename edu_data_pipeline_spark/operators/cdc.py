@@ -38,46 +38,76 @@ def apply_cdc(
     ``order_col`` (change sequence — LSN, offset, or timestamp).
     ``snapshot`` may be None (initial load from a feed that starts with
     inserts)."""
-    # MATERIALIZED struct partition/join key (r14, the
-    # bucketed_running_sum precedent): the dedup window and the snapshot
-    # anti-join cluster on the same logical key, but an eqNullSafe join
-    # re-keys the SMJ on coalesce/isnull pairs that never match the
-    # window exchange's hashpartitioning — the change feed shuffled
-    # TWICE on the forced-SMJ (production) path. A struct of the key
-    # columns is never NULL at the top level and struct equality
-    # compares NULL fields as equal (probed in-tree), so it is exactly
-    # as null-safe as the <=> conjunction it replaces; materializing it
-    # as a named column and name-joining on it (rather than joining on
-    # a fresh struct expression) is what lets EnsureRequirements see
-    # both sides hash the SAME attribute and skip the re-shuffle
-    # (plan evidence: plans/r14/cdc_snapshot_fold_*).
+    # MATERIALIZED struct partition key (r14, the bucketed_running_sum
+    # precedent): a struct of the key columns is never NULL at the top
+    # level and struct equality compares NULL fields as equal, so
+    # partitioning on it groups rows exactly like the <=> conjunction
+    # the pre-r14 anti-join used — NULL-key changes land with NULL-key
+    # snapshot rows (the r12 NULL-key upsert fix, SURVEY §7 hard-part 6).
     kc = "_cdc_k"
-    if kc in changes.columns or (snapshot is not None and kc in snapshot.columns):
+    cc = "_cdc_c"  # 1 = change-feed row, 0 = snapshot row
+    reserved = {kc, cc, "_rn", "_hc"}
+    cols = set(changes.columns) | (set(snapshot.columns) if snapshot is not None else set())
+    clash = sorted(reserved & cols)
+    if clash:
         raise ValueError(
             f"apply_cdc: input columns collide with reserved internal "
-            f"name {kc!r}; rename before calling"
+            f"name(s) {clash}; rename before calling"
         )
     tagged = changes.withColumn(kc, F.struct(*keys))
-    w = Window.partitionBy(kc).orderBy(F.desc(order_col))
-    latest = (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    survivors = latest.where(F.col(OP_COL) != "D").drop(OP_COL, order_col, kc)
     if snapshot is None:
-        return survivors
-    touched = latest.select(kc)
-    # Null-safe anti-join via the materialized struct key, matching
-    # merge_upsert: with plain per-column name-equality a NULL key never
-    # matches, so a NULL-key update DUPLICATED the row (old snapshot row
-    # survived the anti-join AND the survivor was unioned in) and a
-    # NULL-key delete was silently ignored — the degenerate NULL-key
-    # upsert documented and fixed for merge_upsert (SURVEY §7 hard-part
-    # 6), found here by the r12 randomized warehouse properties.
-    untouched = (
+        w = Window.partitionBy(kc).orderBy(F.desc(order_col))
+        latest = (
+            tagged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return latest.where(F.col(OP_COL) != "D").drop(OP_COL, order_col, kc)
+    # SINGLE-EXCHANGE union fold (r15, VERDICT r14 #4). The r14 shape
+    # (window-dedup the feed, anti-join the snapshot on the struct key,
+    # union the survivors) consumed the deduped feed THREE times —
+    # anti-join probe, broadcast twin of the probe for the snapshot's
+    # non-hashable legs, and the survivor union — and column pruning
+    # specializes each copy, so ReuseExchange never unified them: the
+    # feed was scanned and shuffled three times (4 exchanges on the
+    # forced-SMJ path, plans/r14/cdc_snapshot_fold_smj_*). Folding the
+    # snapshot INTO the window instead expresses the same merge as one
+    # union + one key-partitioned window pass: snapshot rows sort below
+    # every change row (cc=0 first key, descending), so per key the
+    # row_number-1 row is the latest change when any change touched the
+    # key and the per-key max(cc) marker says whether snapshot rows
+    # survive. One exchange, one scan of each input
+    # (plans/r15/cdc_snapshot_fold_*). Semantics are unchanged row-set
+    # equality: latest change wins (D drops the key), untouched
+    # snapshot rows — including duplicate-key snapshots, which keep ALL
+    # their rows exactly like the anti-join — pass through.
+    snap_clash = sorted({OP_COL, order_col} & set(snapshot.columns))
+    if snap_clash:
+        # the pre-r15 shape errored on this degenerate schema too (the
+        # survivor union could never line up); fail explicitly instead
+        # of silently NULL-padding a real snapshot column
+        raise ValueError(
+            f"apply_cdc: snapshot columns {snap_clash} collide with the "
+            f"change feed's op/order columns; rename before calling"
+        )
+    snap_rows = (
         snapshot.withColumn(kc, F.struct(*keys))
-        .join(touched, on=[kc], how="left_anti")
-        .drop(kc)
+        .withColumn(OP_COL, F.lit(None).cast("string"))
+        .withColumn(order_col, F.lit(None).cast(changes.schema[order_col].dataType))
+        .withColumn(cc, F.lit(0))
     )
-    return untouched.unionByName(survivors)
+    all_rows = snap_rows.unionByName(tagged.withColumn(cc, F.lit(1)))
+    wk = Window.partitionBy(kc)
+    w = wk.orderBy(F.desc(cc), F.desc(order_col))
+    flagged = all_rows.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_hc", F.max(cc).over(wk)
+    )
+    kept = flagged.where(
+        (
+            (F.col(cc) == 1)
+            & (F.col("_rn") == 1)
+            & (F.col(OP_COL) != "D")
+        )
+        | ((F.col(cc) == 0) & (F.col("_hc") == 0))
+    )
+    return kept.select(*snapshot.columns)

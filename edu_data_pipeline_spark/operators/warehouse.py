@@ -103,40 +103,62 @@ def merge_upsert(
     documented fix for the reference's degenerate NULL-key upsert
     (SURVEY §7 hard-part 6).
     """
-    # MATERIALIZED struct partition/join key (r14, the
-    # bucketed_running_sum precedent; see apply_cdc for the full
-    # rationale): identical null-safety to the <=> conjunction — a
-    # struct is never NULL at the top level and struct equality
-    # compares NULL fields as equal — and because both sides carry the
-    # key as the SAME named column, the dedup window's exchange and the
-    # anti-join hash one attribute and the updates side is not
-    # re-shuffled on coalesce/isnull pairs. The row-order path is
+    # MATERIALIZED struct partition key (r14, the bucketed_running_sum
+    # precedent): a struct of the key columns is never NULL at the top
+    # level and struct equality compares NULL fields as equal, so
+    # partitioning on it groups rows exactly like the <=> conjunction
+    # (the documented NULL-key upsert fix). The row-order path is
     # unaffected: monotonically_increasing_id is projected below the
-    # window exchange, so each row's id (and therefore the per-key
-    # winner) is fixed before any partitioning decision.
+    # single window exchange, so each row's id (and therefore the
+    # per-key winner among update rows) is fixed before any
+    # partitioning decision; unioning the target in only shifts every
+    # update partition's id by a constant, preserving relative order.
     kc = "_mu_k"
-    if kc in updates.columns or (target is not None and kc in target.columns):
+    cc = "_mu_c"  # 1 = update row, 0 = target row
+    reserved = {kc, cc, "__rn", "__hc"}
+    cols = set(updates.columns) | (set(target.columns) if target is not None else set())
+    clash = sorted(reserved & cols)
+    if clash:
         raise ValueError(
             f"merge_upsert: input columns collide with reserved internal "
-            f"name {kc!r}; rename before calling"
+            f"name(s) {clash}; rename before calling"
         )
-    w = Window.partitionBy(kc).orderBy(
+    order_expr = (
         F.desc(order_col) if order_col else F.monotonically_increasing_id().desc()
     )
-    deduped = (
-        updates.withColumn(kc, F.struct(*keys))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    tagged = updates.withColumn(kc, F.struct(*keys))
     if target is None:
-        return deduped.drop(kc)
-    kept = (
-        target.withColumn(kc, F.struct(*keys))
-        .join(deduped.select(kc), on=[kc], how="left_anti")
-        .drop(kc)
+        w = Window.partitionBy(kc).orderBy(order_expr)
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", kc)
+        )
+    # SINGLE-EXCHANGE union fold (r15, VERDICT r14 #4; see apply_cdc for
+    # the full rationale): the r14 shape consumed the deduped feed twice
+    # (anti-join probe + survivor union) with divergent column pruning,
+    # so the updates subtree was evaluated and shuffled twice. Target
+    # rows sort below every update row (cc descending first), so per
+    # key the row_number-1 row is the winning update when one exists
+    # and the per-key max(cc) marker says whether target rows survive —
+    # duplicate-key targets keep ALL rows, exactly like the anti-join.
+    t_rows = target.withColumn(kc, F.struct(*keys)).withColumn(cc, F.lit(0))
+    # NULL-pad update-only columns (e.g. order_col) on the target side so
+    # the union carries the full update schema through the window
+    for f in updates.schema.fields:
+        if f.name not in target.columns:
+            t_rows = t_rows.withColumn(f.name, F.lit(None).cast(f.dataType))
+    all_rows = t_rows.unionByName(tagged.withColumn(cc, F.lit(1)))
+    wk = Window.partitionBy(kc)
+    w = wk.orderBy(F.desc(cc), order_expr)
+    flagged = all_rows.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__hc", F.max(cc).over(wk)
     )
-    return kept.unionByName(deduped.select(*target.columns))
+    kept = flagged.where(
+        ((F.col(cc) == 1) & (F.col("__rn") == 1))
+        | ((F.col(cc) == 0) & (F.col("__hc") == 0))
+    )
+    return kept.select(*target.columns)
 
 
 class ParquetMergeWriter:
