@@ -241,6 +241,33 @@ def _host_conditions(before: tuple[float, float] | None,
     return out
 
 
+def _scaling_probe(spark, tasks: int = 64, n: int = 1_500_000, reps: int = 3) -> float:
+    """Min-of-``reps`` seconds for a FIXED-WORK parallel JVM compute job:
+    ``tasks`` equal partitions, each folding an ``n``-element sequence
+    (interpreted HOF, ~0.3 s/task of pure CPU, no I/O, no shuffle).
+
+    Why (VERDICT r14 #2, `suspect_cpus_ignored`): the driver re-runs the
+    bench at a lower $SPARK_GRAFT_CPUS to measure scaling, but the sf0.1
+    suite's scan stages are single-row-group (1 task) and its shuffled
+    stages are overhead-bound, so 8-core and 32-core totals coincide and
+    the probe measured nothing. This job is embarrassingly parallel by
+    construction: its 8-vs-32-core ratio is the HOST's deliverable
+    parallelism, read directly from the two BENCH artifacts. If the
+    suite ratio is ~1 while this ratio tracks the core ratio, the suite
+    is overhead/layout-bound at bench scale (not a scheduling bug); if
+    this ratio is also ~1, the host caps effective parallelism and the
+    whole scaling block is a host artifact."""
+    df = spark.range(0, tasks, 1, tasks).selectExpr(
+        f"aggregate(sequence(1, {n}), 0L, (a, x) -> a + x * (id % 7 + 1)) AS s"
+    )
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _r03_queries() -> dict[str, float]:
     """Per-query timings from the pinned round-3 bench artifact.
 
@@ -363,6 +390,18 @@ def main() -> None:
     srt = sorted(iter_totals)
     median = srt[len(srt) // 2] if len(srt) % 2 else (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2
     spread = (srt[-1] - srt[0]) / median if median else 0.0
+    mark_post, mark_mt_post = _cpu_mark(), _cpu_mark_mt()
+    # Contract line kept LEAN and stable (VERDICT r14 "what's wrong" #3:
+    # the growing one-liner broke the driver's r13 parse and cost that
+    # round its whole PERF comparison). The printed object carries the
+    # driver contract (metric/value/unit/queries/sf) plus the few
+    # audit fields VERDICT r14 #2 asked for: the resolved master +
+    # defaultParallelism (so `$SPARK_GRAFT_CPUS` handling is checkable
+    # from the artifact), the fixed-work host marks (min of the
+    # pre/post pair — "did the host move or did the plans move"), the
+    # scaling probe, and the pinned-reference ratio. Everything
+    # per-iteration (totals, host fractions, mark series, warmup) moves
+    # to the BENCH_HISTORY row only.
     result = {
         "metric": "suite_headline_total",
         "value": total,
@@ -372,25 +411,29 @@ def main() -> None:
         "sf": sf,
         "n": N_RUNS,
         "set_version": SET_VERSION,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpu_mark_st": min(mark_pre, mark_post),
+        "cpu_mark_mt": min(mark_mt_pre, mark_mt_post),
+        # fixed-work embarrassingly-parallel compute job (64 equal
+        # tasks, no I/O): its ratio across the driver's two
+        # $SPARK_GRAFT_CPUS runs is the host's deliverable parallelism
+        # — the discriminator the sf0.1 suite itself cannot provide
+        # (single-row-group scans, overhead-bound shuffles)
+        "scaling_probe_s": _scaling_probe(spark),
+        "total_median": round(median, 3),
+        "total_spread_pct": round(100 * spread, 1),
+    }
+    diagnostics = {
         "iter_totals": iter_totals,
         "iter_hosts": iter_hosts,
-        # fixed-work single-thread host-speed marks, before the warmup
-        # and after the last timed sample (seconds for _cpu_mark's fixed
-        # work, 1 GiB SHA-256) — the instrument that separates "the host got
-        # slower" from "the plans got slower" in cross-round wall diffs
-        "cpu_mark_s": [mark_pre, _cpu_mark()],
-        # fixed-work 32-thread throughput marks at the same two instants
-        # (seconds for 32 concurrent 256 MiB SHA-256 workers; see
-        # _cpu_mark_mt) — separates "individually-fast vCPUs, capped
-        # aggregate" host windows from frequency windows (r12 showed the
-        # single-thread mark alone cannot explain 32-thread wall swings)
-        "cpu_mark_mt_s": [mark_mt_pre, _cpu_mark_mt()],
+        # full pre/post fixed-work mark pairs (see _cpu_mark/_cpu_mark_mt)
+        "cpu_mark_s": [mark_pre, mark_post],
+        "cpu_mark_mt_s": [mark_mt_pre, mark_mt_post],
         # per-iteration ST/MT mark pairs sampled just before each timed
         # iteration (r14, VERDICT r13 #3) — see iter_marks comment
         "cpu_marks_per_iter": iter_marks,
         "warmup_total": warmup_total,
-        "total_median": round(median, 3),
-        "total_spread_pct": round(100 * spread, 1),
         "host": _host_conditions(
             stat_before, _proc_stat(), time.perf_counter() - wall_start
         ),
@@ -411,11 +454,12 @@ def main() -> None:
         }
     print(json.dumps(result))
     # Persistent per-query history so round-over-round regressions are
-    # attributable (VERDICT r2 #2): one JSONL row per bench invocation.
+    # attributable (VERDICT r2 #2): one JSONL row per bench invocation,
+    # carrying the full diagnostics the contract line no longer does.
     try:
         hist = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
         with open(hist, "a") as fh:
-            fh.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **result}) + "\n")
+            fh.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()), **result, **diagnostics}) + "\n")
     except OSError:
         pass  # history is best-effort; the JSON line above is the contract
     spark.stop()

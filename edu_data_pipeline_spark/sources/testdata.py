@@ -35,8 +35,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # oracle runs keep computing from the inputs — this is the same
 # metadata reuse a catalog table / registered temp view gives, applied
 # to the path-based reader. Keyed by applicationId so a stopped/new
-# SparkContext never serves a stale session's plan.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# SparkContext never serves a stale session's plan; entries from
+# applications other than the CURRENT one are evicted on every miss
+# (r15, VERDICT r14 #7), so a long-lived multi-session process holds at
+# most one application's plans instead of leaking py4j-pinned logical
+# plans per restart.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,15 +50,34 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalization below is value-preserving only then. Enforced here (not
     just by convention via get_spark/ensure_session_confs) because table()
     is also called directly by scripts and tests (ADVICE r2).
+
+    Static-input contract (ADVICE r14): the cached plan pins the
+    resolved file listing and read-time schema of
+    ``{sf_dir}/{name}.parquet`` for the life of the application —
+    rewriting a table in place mid-session would serve the stale file
+    list. The bench/oracle corpus is immutable, which is what makes the
+    cache sound; callers that rewrite inputs in-session must start a
+    new application (or clear ``_PLAN_CACHE``).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    key: tuple = (app_id, sf_dir, name)
     if name == "events":
-        # the NTZ->LTZ normalization is tz-dependent; key the cached plan
-        # on the session zone so a tz change can never serve a stale cast
-        key = (*key, spark.conf.get("spark.sql.session.timeZone"))
+        # the NTZ->LTZ normalization is tz-dependent and its SHAPE
+        # depends on the nanosAsLong legacy conf (long vs NTZ arrival);
+        # key the cached plan on both so a conf change can never serve
+        # a stale cast (ADVICE r14)
+        key = (
+            *key,
+            spark.conf.get("spark.sql.session.timeZone"),
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        )
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # single-application cache: evict plans pinned by DEAD applications
+    # before inserting for the live one (VERDICT r14 #7)
+    for stale in [k for k in _PLAN_CACHE if k[0] != app_id]:
+        del _PLAN_CACHE[stale]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts has shipped as TIMESTAMP(NANOS) (arriving as a long under
     # spark.sql.legacy.parquet.nanosAsLong) and as TIMESTAMP(MICROS) with
